@@ -1,0 +1,329 @@
+"""Interval identification (marker-based sessionization).
+
+Semantics (reference contract: ``pw/wranglers.py:14-141`` and the golden test
+corpus ``tests/test_data/interval_identifier.py`` in
+mansenfranzen/pywrangler): within each group (``groupby_columns``), order rows
+by ``orderby_columns``/``ascending``; an *interval* is a run of rows from a
+start marker to an end marker, **both inclusive**. Messy data may repeat
+start/end markers; the four ``(marker_start_use_first,
+marker_end_use_first)`` combinations select which marker of a consecutive run
+delimits the interval:
+
+====================  ==================  =========================
+marker_start_use_first  marker_end_use_first  interval shape
+====================  ==================  =========================
+True                  True                first start → first end
+True                  False               first start → last end (longest)
+False                 True                last start → first end (shortest)
+False                 False               last start → last end
+====================  ==================  =========================
+
+If ``marker_end`` is omitted or equals ``marker_start``, every start opens a
+new interval that runs until the next start; rows before the first start are
+invalid. Non-marker rows ("noise", including NULL/NaN) inherit the id of the
+interval they fall inside, else 0.
+
+``result_type``: ``raw`` (monotone ids over valid and invalid stretches
+alike), ``valid`` (invalid intervals zeroed, valid ids arbitrary),
+``enumerated`` (default; valid intervals renumbered 1,2,3,… in order,
+invalid rows 0).
+
+Spark-first design — and why it differs from the reference
+----------------------------------------------------------
+The reference's PySpark algorithm (``pw/pyspark/wranglers/
+interval_identifier.py:14-462``) uses **two** window specs: an ordered
+window for the cumulative-sum phase and a second, unordered window
+partitioned by ``groupby + raw_iid`` for interval validation — i.e. two
+shuffle exchanges per call, plus a hand-tuned variant
+(``VectorizedCumSumAdjusted``, ``:465-623``) that special-cases two configs
+to save DAG steps.
+
+This implementation needs **one window spec** (one shuffle + one sort) for
+all four configs and all result types:
+
+1. *Denoise*: map the marker column to {start, end, NULL}.
+2. *Dedup runs*: in the denoised marker subsequence, a run of equal markers
+   is collapsed to its first or last element per the ``*_use_first`` flags —
+   detected with forward/backward ``last/first(…, ignorenulls=True)`` fills,
+   no self-join.
+3. *Kept-marker fills*: forward/backward fills over the surviving markers
+   give, for every row: the last kept marker at-or-before it (``a``),
+   strictly-before it (``prev``), and strictly-after it (``next``). Because
+   kept markers strictly alternate start/end, a row is inside a **valid**
+   interval iff ``(a = start ∧ next = end) ∨ (a = end ∧ prev = start)`` —
+   no groupBy-and-rejoin, no second exchange.
+4. *Ids*: raw ids are a running sum of kept-start + lagged kept-end flags;
+   enumerated ids are a running sum of valid-interval starts.
+
+All expressions share one ``Window.partitionBy(groupby).orderBy(orderby)``
+spec, so Catalyst plans a single Exchange + Sort followed by pipelined
+Window operators — verified with ``explain("formatted")``. At 100 TB the
+shuffle is therefore bounded by the group cardinality of the data, and the
+per-group state is O(1) streaming through the sorted partition. No Python
+UDFs anywhere (whole-stage codegen applies end-to-end).
+
+A window without ``groupby_columns`` degenerates to a single partition —
+fine for tests, fatal at scale; we warn (Spark does too).
+"""
+
+from __future__ import annotations
+
+import warnings
+from typing import Any, Callable, Optional, Sequence, Union
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+
+from pywrangler_spark.base import SparkWrangler
+from pywrangler_spark.util import ensure_iterable
+
+
+class _NoEndMarker:
+    """Sentinel for 'no end marker given' (distinct from None, which is a
+    legal marker value)."""
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return "NO_END_MARKER"
+
+
+NO_END_MARKER = _NoEndMarker()
+
+RESULT_TYPES = ("raw", "valid", "enumerated")
+
+# internal marker-state codes for the kept-marker column
+_START, _END = 1, 2
+
+
+class IntervalIdentifier(SparkWrangler):
+    """Identify intervals delimited by start/end marker values.
+
+    Parameters
+    ----------
+    marker_column
+        Column containing start/end markers.
+    marker_start
+        Value that opens an interval.
+    marker_end
+        Value that closes an interval. Omitted or equal to ``marker_start``
+        → every start opens a new interval running to the next start.
+    marker_start_use_first, marker_end_use_first
+        Which marker of a consecutive run delimits the interval (see module
+        docstring). Defaults: last start, first end (shortest interval).
+    orderby_columns
+        Required (Spark DataFrames have no implicit order).
+    groupby_columns
+        Partition keys; intervals never cross groups. Strongly recommended
+        at scale — without them the window is a single partition.
+    ascending
+        Per-orderby-column sort direction; defaults to all ascending.
+    result_type
+        ``raw`` | ``valid`` | ``enumerated`` (default).
+    target_column_name
+        Name of the produced id column (default ``iids``).
+    """
+
+    def __init__(
+        self,
+        marker_column: str,
+        marker_start: Any,
+        marker_end: Any = NO_END_MARKER,
+        marker_start_use_first: bool = False,
+        marker_end_use_first: bool = True,
+        orderby_columns: Optional[Union[str, Sequence[str]]] = None,
+        groupby_columns: Optional[Union[str, Sequence[str]]] = None,
+        ascending: Optional[Union[bool, Sequence[bool]]] = None,
+        result_type: str = "enumerated",
+        target_column_name: str = "iids",
+    ):
+        self.marker_column = marker_column
+        self.marker_start = marker_start
+        self.marker_end = marker_end
+        self.marker_start_use_first = marker_start_use_first
+        self.marker_end_use_first = marker_end_use_first
+        self.orderby_columns = ensure_iterable(orderby_columns)
+        self.groupby_columns = ensure_iterable(groupby_columns)
+        self.ascending = ensure_iterable(ascending, retain_none=True)
+        self.result_type = result_type
+        self.target_column_name = target_column_name
+
+        if result_type not in RESULT_TYPES:
+            raise ValueError(
+                f"result_type must be one of {RESULT_TYPES}, got {result_type!r}"
+            )
+
+        if self.ascending is None:
+            self.ascending = tuple(True for _ in self.orderby_columns)
+        elif len(self.ascending) != len(self.orderby_columns):
+            raise ValueError(
+                "`ascending` must match `orderby_columns` in length "
+                f"({len(self.ascending)} vs {len(self.orderby_columns)})"
+            )
+        if not all(isinstance(a, bool) for a in self.ascending):
+            raise ValueError("`ascending` entries must be booleans")
+
+    # -- properties ---------------------------------------------------------
+
+    @property
+    def preserves_sample_size(self) -> bool:
+        return True
+
+    @property
+    def _identical_markers(self) -> bool:
+        return (
+            isinstance(self.marker_end, _NoEndMarker)
+            or self.marker_end == self.marker_start
+        )
+
+    # -- plan building ------------------------------------------------------
+
+    def _window(self) -> WindowSpec:
+        if not self.orderby_columns:
+            raise ValueError(
+                "orderby_columns is required: Spark DataFrames have no "
+                "implicit row order."
+            )
+        order = [
+            F.col(c).asc() if asc else F.col(c).desc()
+            for c, asc in zip(self.orderby_columns, self.ascending)
+        ]
+        if self.groupby_columns:
+            return Window.partitionBy(*self.groupby_columns).orderBy(*order)
+        warnings.warn(
+            "IntervalIdentifier without groupby_columns runs the window on a "
+            "single partition; supply group keys for distributed execution.",
+            stacklevel=3,
+        )
+        return Window.partitionBy(F.lit(0)).orderBy(*order)
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        self.validate_columns(
+            df, [self.marker_column, *self.orderby_columns, *self.groupby_columns]
+        )
+        if self.target_column_name in df.columns:
+            raise ValueError(
+                f"target column {self.target_column_name!r} already exists"
+            )
+
+        w = self._window()
+        w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        marker = F.col(self.marker_column)
+        original = list(df.columns)
+        out = self.target_column_name
+
+        if self._identical_markers:
+            # Every start opens an interval to the next start; rows before
+            # the first start are invalid (id 0). One running sum suffices
+            # for all result types. (Reference short-circuit:
+            # pw/pyspark/wranglers/interval_identifier.py:354-373.)
+            iid = F.sum(
+                marker.eqNullSafe(F.lit(self.marker_start)).cast("long")
+            ).over(w_run)
+            return df.select(*original, iid.alias(out))
+
+        # ---- stage 1: denoised marker + raw start/end membership ----------
+        is_start = marker.eqNullSafe(F.lit(self.marker_start))
+        is_end = marker.eqNullSafe(F.lit(self.marker_end))
+        denoised = (
+            F.when(is_start, F.lit(_START))
+            .when(is_end, F.lit(_END))
+            .cast("int")
+        )
+        s1 = df.select(*original, denoised.alias("_m"))
+
+        # ---- stage 2: neighbours in the denoised marker subsequence -------
+        m = F.col("_m")
+        prev_m = F.last(m, ignorenulls=True).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        )
+        next_m = F.first(m, ignorenulls=True).over(
+            w.rowsBetween(1, Window.unboundedFollowing)
+        )
+        s2 = s1.select("*", prev_m.alias("_pm"), next_m.alias("_nm"))
+
+        # ---- stage 3: collapse runs → kept markers -------------------------
+        # A run of equal markers in the denoised subsequence keeps its first
+        # element (neighbour-before differs) or its last (neighbour-after
+        # differs) per the use_first flags.
+        def _kept(code: int, use_first: bool) -> Column:
+            neighbour = F.col("_pm") if use_first else F.col("_nm")
+            return m.eqNullSafe(F.lit(code)) & ~neighbour.eqNullSafe(
+                F.lit(code)
+            )
+
+        kept_start = _kept(_START, self.marker_start_use_first)
+        kept_end = _kept(_END, self.marker_end_use_first)
+        km = (
+            F.when(kept_start, F.lit(_START))
+            .when(kept_end, F.lit(_END))
+            .cast("int")
+        )
+        s3 = s2.select(
+            *original,
+            kept_start.cast("long").alias("_bs"),
+            kept_end.cast("long").alias("_be"),
+            km.alias("_km"),
+        )
+
+        # ---- stage 4: kept-marker fills + lagged end flag ------------------
+        kmc = F.col("_km")
+        at_or_before = F.last(kmc, ignorenulls=True).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        )
+        before = F.last(kmc, ignorenulls=True).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        )
+        after = F.first(kmc, ignorenulls=True).over(
+            w.rowsBetween(1, Window.unboundedFollowing)
+        )
+        s4 = s3.select(
+            "*",
+            at_or_before.alias("_a"),
+            before.alias("_prev"),
+            after.alias("_next"),
+            F.lag("_be", 1, 1).over(w).alias("_be_lag"),
+        )
+
+        # ---- stage 5: validity + ids ---------------------------------------
+        # Kept markers strictly alternate start/end within a group, so a row
+        # lies in a valid (start…end) interval iff the last kept marker at or
+        # before it is a start with an end still ahead, or the row is the
+        # closing end itself.
+        valid = (
+            F.col("_a").eqNullSafe(F.lit(_START))
+            & F.col("_next").eqNullSafe(F.lit(_END))
+        ) | (
+            F.col("_a").eqNullSafe(F.lit(_END))
+            & F.col("_prev").eqNullSafe(F.lit(_START))
+        )
+
+        if self.result_type == "raw":
+            iid = F.sum(F.col("_bs") + F.col("_be_lag")).over(w_run)
+            s5 = s4.select(*original, iid.alias(out))
+        elif self.result_type == "valid":
+            raw = F.sum(F.col("_bs") + F.col("_be_lag")).over(w_run)
+            s5 = s4.select(
+                *original,
+                F.when(valid, raw).otherwise(F.lit(0)).alias(out),
+            )
+        else:  # enumerated
+            opens_valid = (F.col("_bs") == 1) & valid
+            enum = F.sum(opens_valid.cast("long")).over(w_run)
+            s5 = s4.select(
+                *original,
+                F.when(valid, enum).otherwise(F.lit(0)).alias(out),
+            )
+        return s5
+
+
+def identify_intervals(**params: Any) -> Callable[[DataFrame], DataFrame]:
+    """Functional form for ``df.transform(identify_intervals(...))`` and
+    pipeline stages. Accepts the same keyword arguments as
+    :class:`IntervalIdentifier`."""
+    wrangler = IntervalIdentifier(**params)
+
+    def _transform(df: DataFrame) -> DataFrame:
+        return wrangler.fit_transform(df)
+
+    _transform.__name__ = "identify_intervals"
+    _transform.__doc__ = IntervalIdentifier.__doc__
+    return _transform

@@ -1,0 +1,46 @@
+"""SparkSession factory with the engine's required configuration.
+
+Local mode for tests/bench; on a real cluster the same configs apply (AQE,
+arrow, nanos handling) while master/memory come from the deployment.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "pywrangler_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession configured for this engine.
+
+    Required configs:
+    - ``spark.sql.legacy.parquet.nanosAsLong``: accept TIMESTAMP(NANOS)
+      parquet columns (restored to TimestampType by
+      :mod:`pywrangler_spark.sources.parquet`).
+    - AQE on: runtime coalescing + skew-join handling.
+    - Arrow on: fast pandas interchange for the Pandas-UDF operators.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4))
+    master = master or f"local[{cpus}]"
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

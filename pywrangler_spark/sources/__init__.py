@@ -1,0 +1,10 @@
+"""Sources & sinks."""
+
+from pywrangler_spark.sources.parquet import (
+    TABLE_NAMES,
+    load_tables,
+    read_parquet,
+    register_views,
+)
+
+__all__ = ["TABLE_NAMES", "read_parquet", "load_tables", "register_views"]

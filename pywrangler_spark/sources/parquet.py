@@ -1,0 +1,99 @@
+"""Parquet source with nanosecond-timestamp normalization.
+
+Spark's vectorized parquet reader rejects ``TIMESTAMP(NANOS)`` columns
+(``PARQUET_TYPE_ILLEGAL``) — common in files written by pandas/pyarrow with
+default ``datetime64[ns]``. With ``spark.sql.legacy.parquet.nanosAsLong=true``
+those columns arrive as raw nanosecond longs; this reader sniffs the parquet
+footer (metadata-only, driver-side, O(1) regardless of data size) with
+pyarrow and converts them back to proper ``TimestampType`` via
+``timestamp_micros`` — JVM-side expressions, no UDFs, fully codegen'd, so
+the conversion is free at scan time and Catalyst still prunes columns and
+pushes down filters on the remaining columns.
+
+The session must be created with the ``nanosAsLong`` config (see
+:func:`pywrangler_spark.session.get_spark`).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import Dict, Iterable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# driver testdata tables (TESTDATA.md)
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def _nano_timestamp_columns(path: str) -> list:
+    """Column names stored as TIMESTAMP(NANOS) — read from the footer only."""
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        candidates = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not candidates:
+            return []
+        path = candidates[0]
+    schema = pq.read_schema(path)
+    nanos = []
+    for field in schema:
+        t = field.type
+        if getattr(t, "unit", None) == "ns":
+            nanos.append(field.name)
+    return nanos
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """``spark.read.parquet`` + restore TIMESTAMP(NANOS) columns to
+    TimestampType (microsecond precision, Spark's native resolution)."""
+    df = spark.read.parquet(path)
+    nanos = set(_nano_timestamp_columns(path))
+    if not nanos:
+        return df
+    exprs = [
+        F.timestamp_micros((F.col(c) / 1000).cast("long")).alias(c)
+        if c in nanos
+        else F.col(c)
+        for c in df.columns
+    ]
+    return df.select(*exprs)
+
+
+def load_tables(
+    spark: SparkSession,
+    sf_dir: str,
+    names: Optional[Iterable[str]] = None,
+) -> Dict[str, DataFrame]:
+    """Load the driver testdata tables from ``sf_dir`` (one parquet each)."""
+    names = tuple(names) if names else TABLE_NAMES
+    tables = {}
+    for name in names:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            tables[name] = read_parquet(spark, path)
+    return tables
+
+
+def register_views(
+    spark: SparkSession,
+    sf_dir: str,
+    names: Optional[Iterable[str]] = None,
+) -> Dict[str, DataFrame]:
+    """Load tables and register each as a temp view for ``spark.sql``."""
+    tables = load_tables(spark, sf_dir, names)
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+    return tables
