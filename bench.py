@@ -1,0 +1,65 @@
+#!/usr/bin/env python
+"""Benchmark harness: run every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Execution is forced with a noop datasource write (full computation, no
+driver-side collect), matching how a real pipeline sinks results.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from pywrangler_spark.queries import QUERIES
+    from pywrangler_spark.session import get_spark
+
+    spark = get_spark(
+        "bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+        extra_conf={"spark.driver.memory": "48g"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm up the JVM / parquet footers so per-query numbers measure the
+    # queries, not session bring-up
+    from pywrangler_spark.sources import read_parquet
+
+    read_parquet(spark, os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    timings = {}
+    for name in sorted(QUERIES):
+        df = QUERIES[name](spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf_match = re.search(r"sf([0-9.]+)", sf_dir)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_seconds",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf_match.group(1)) if sf_match else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -59,12 +59,19 @@ def _nano_timestamp_columns(path: str) -> list:
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     """``spark.read.parquet`` + restore TIMESTAMP(NANOS) columns to
     TimestampType (microsecond precision, Spark's native resolution)."""
+    # runtime-settable; makes this reader work on externally-created sessions
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # parquet nanos are wall-clock-naive; interpret as UTC so the restored
+    # TimestampType round-trips the stored wall time under any host TZ
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(path)
     nanos = set(_nano_timestamp_columns(path))
     if not nanos:
         return df
+    # integer `div`, not `/`: nano epochs (~1.7e18) exceed double's exact
+    # integer range, so float division would corrupt the microseconds
     exprs = [
-        F.timestamp_micros((F.col(c) / 1000).cast("long")).alias(c)
+        F.timestamp_micros(F.expr(f"`{c}` div 1000")).alias(c)
         if c in nanos
         else F.col(c)
         for c in df.columns
