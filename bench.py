@@ -40,12 +40,20 @@ def main() -> None:
 
     read_parquet(spark, os.path.join(sf_dir, "lineitem.parquet")).count()
 
+    # best-of-N (like the reference's timeit-based profiler): a single
+    # shared-JVM pass is noisy — GC and shuffle-file accumulation from
+    # earlier queries can inflate later ones several-fold
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     timings = {}
     for name in sorted(QUERIES):
-        df = QUERIES[name](spark, sf_dir)
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(reps):
+            df = QUERIES[name](spark, sf_dir)
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            elapsed = time.perf_counter() - t0
+            best = elapsed if best is None else min(best, elapsed)
+        timings[name] = round(best, 3)
 
     sf_match = re.search(r"sf([0-9.]+)", sf_dir)
     print(

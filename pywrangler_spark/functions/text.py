@@ -1,0 +1,120 @@
+"""Text-analysis column functions: normalization, fingerprinting,
+tokenization, shingling, quality metrics, language scoring.
+
+All pure ``F.*`` expression trees (whole-stage codegen; zero Python in the
+row path). Each has a documented DuckDB-SQL equivalent used by the oracle
+queries, so semantics are pinned cross-engine.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# BPE-ish pre-tokenizer: alphabetic runs | digit runs | single non-space
+# symbols — the common GPT-2-style pre-split shape, kept RE2-compatible so
+# the same pattern runs in DuckDB.
+BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+# tiny per-language stopword profiles for the n-gram/stopword language-ID
+# heuristic (word-boundary alternations; RE2- and Java-regex-compatible)
+LANG_PROFILES: Dict[str, str] = {
+    "en": r"\b(the|and|of|to|is|in|that|it|for|with)\b",
+    "de": r"\b(der|die|das|und|ist|nicht|mit|ein|eine|zu)\b",
+    "fr": r"\b(le|la|les|et|est|une|dans|que|pour|pas)\b",
+    "es": r"\b(el|los|las|es|una|en|que|por|para|con)\b",
+    "zh": r"(的|是|了|在|和|有|不|人|这|中)",
+}
+
+
+def normalize_text(col: Column) -> Column:
+    """Lowercase + collapse whitespace + trim.
+    DuckDB: ``trim(regexp_replace(lower(x), '\\s+', ' ', 'g'))``."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def fingerprint(col: Column) -> Column:
+    """Document fingerprint: md5 of the normalized text. Identical on every
+    engine; the exact-dedup key (hash-groupBy shuffles 32 bytes, not the
+    document)."""
+    return F.md5(normalize_text(col))
+
+
+def words(col: Column) -> Column:
+    """Whitespace tokens of the normalized text (array<string>).
+    DuckDB: ``string_split(<normalized>, ' ')``."""
+    return F.split(normalize_text(col), " ")
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count. Empty text → 0."""
+    norm = normalize_text(col)
+    return F.when(norm == "", F.lit(0)).otherwise(
+        F.size(F.split(norm, " "))
+    ).cast("long")
+
+
+def bpe_token_count(col: Column) -> Column:
+    """BPE-ish token count via regexp matches.
+    DuckDB: ``len(regexp_extract_all(x, pattern))``."""
+    return F.regexp_count(col, F.lit(BPE_PATTERN)).cast("long")
+
+
+def quality_alpha_ratio(col: Column) -> Column:
+    """Alphabetic-character ratio — a standard cheap quality signal.
+    DuckDB: ``len(regexp_replace(x,'[^A-Za-z]','','g'))*1.0/nullif(len(x),0)``."""
+    alpha = F.length(F.regexp_replace(col, "[^A-Za-z]", ""))
+    return alpha * 1.0 / F.nullif(F.length(col), F.lit(0))
+
+
+def shingles_from_words(w: Column, k: int = 3) -> Column:
+    """Distinct word k-shingles from an (already materialized) token-array
+    column. Prefer this over :func:`word_shingles` in staged plans: ``w``
+    is referenced k+1 times here, so it should be a plain column, not an
+    inlined tokenization expression (Catalyst does not CSE across array
+    lambdas)."""
+    idx = F.sequence(F.lit(0), F.size(w) - k)
+    shingle = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(w, (i + j + 1).cast("int")) for j in range(k)]
+        ),
+    )
+    # guard: sequence(0, n) with n < 0 DESCENDS ([0, -1, ...]) instead of
+    # being empty, and element_at would then index out of bounds — short
+    # documents must yield an empty shingle array
+    return F.when(F.size(w) >= k, F.array_distinct(shingle)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def word_shingles(col: Column, k: int = 3) -> Column:
+    """Distinct word k-shingles (array<string>) of the normalized text.
+    Documents shorter than k words yield an empty array.
+
+    DuckDB equivalent:
+    ``list_distinct(list_transform(range(1, len(w)-k+2),
+    i -> w[i] || ' ' || ... || w[i+k-1]))``.
+    """
+    return shingles_from_words(words(col), k)
+
+
+def lang_scores(col: Column) -> Dict[str, Column]:
+    """Per-language stopword-hit counts (the language-ID signal)."""
+    return {
+        lang: F.regexp_count(normalize_text(col), F.lit(pat))
+        for lang, pat in LANG_PROFILES.items()
+    }
+
+
+def lang_id(col: Column, langs: Sequence[str] = tuple(LANG_PROFILES)) -> Column:
+    """Argmax language by stopword hits, ties broken by ``langs`` order;
+    no hits at all → 'und' (undetermined)."""
+    scores = lang_scores(col)
+    best = F.greatest(*[scores[lang] for lang in langs])
+    expr = F.when(best == 0, F.lit("und"))
+    for lang in langs:
+        expr = expr.when(scores[lang] == best, F.lit(lang))
+    return expr

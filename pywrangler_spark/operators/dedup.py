@@ -1,0 +1,345 @@
+"""Deduplication operators for large-scale document corpora.
+
+Scale design (the 100 TB story):
+
+- **Exact dedup** groups by a 32-byte md5 fingerprint of the normalized
+  text — the shuffle moves fingerprints + ids, never documents.
+- **MinHash + LSH** turns near-dup detection from O(n²) pairwise into
+  banded bucket joins: signature computation is embarrassingly parallel
+  (array expressions per row, no shuffle), the only shuffle is the
+  self-join on (band index, band hash), whose fan-out is bounded by bucket
+  sizes rather than corpus size.
+- **SimHash** gives a per-document 63-bit sketch; hamming-near pairs can
+  then be found with multi-index prefix joins. The sketch itself is one
+  explode + groupBy (single shuffle keyed by doc id).
+- **n-gram Jaccard** (exact) is the verification/oracle path: a shingle
+  self-join, quadratic in bucket co-occurrence — correct at any scale but
+  intended for candidate verification, not all-pairs discovery.
+
+All integer hashing is md5-derived (see ``functions.hashing``) so every
+result is reproducible bit-for-bit in any engine — the DuckDB oracles run
+the same arithmetic.
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Callable, List, Sequence, Tuple
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from pywrangler_spark.functions.hashing import hash28, hash56
+from pywrangler_spark.functions.text import (
+    fingerprint,
+    shingles_from_words,
+    word_shingles,
+    words,
+)
+
+MERSENNE31 = 2_147_483_647  # 2^31 - 1, prime modulus for permutations
+
+
+def _scale_out(df: DataFrame) -> DataFrame:
+    """Repartition up to the session's shuffle parallelism when the input
+    arrives in fewer partitions (e.g. one small parquet file → one task).
+    The sketching stages below are compute-bound per row; without this a
+    single-file corpus runs them on one core. No-op when the scan already
+    has enough splits (the 100 TB case)."""
+    target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def minhash_params(
+    num_hashes: int, seed: int = 42
+) -> List[Tuple[int, int]]:
+    """Deterministic (a, b) permutation coefficients; a ∈ [1, p-1],
+    b ∈ [0, p-1]. Fixed seed → identical signatures everywhere."""
+    rng = random.Random(seed)
+    return [
+        (rng.randint(1, MERSENNE31 - 1), rng.randint(0, MERSENNE31 - 1))
+        for _ in range(num_hashes)
+    ]
+
+
+def duplicate_groups(
+    id_column: str, text_column: str
+) -> Callable[[DataFrame], DataFrame]:
+    """Exact-dedup group table: one row per distinct normalized text with
+    the representative (minimum) id and the group size."""
+
+    def _transform(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                fingerprint(F.col(text_column)).alias("fingerprint"),
+                F.col(id_column),
+            )
+            .groupBy("fingerprint")
+            .agg(
+                F.min(id_column).alias("rep_id"),
+                F.count(F.lit(1)).alias("n_docs"),
+            )
+        )
+
+    return _transform
+
+
+def dedup_exact(
+    id_column: str, text_column: str
+) -> Callable[[DataFrame], DataFrame]:
+    """Keep exactly one row (the minimum id) per distinct normalized text.
+
+    Implemented as a min-id aggregation on the fingerprint followed by a
+    semi-join on (fingerprint, id) — two hash shuffles on a 32-byte key.
+    (A window row_number over fingerprint would be one shuffle but forces
+    a full sort per group; for dedup the aggregation form wins at scale
+    because the combiner pre-reduces map-side.)"""
+
+    def _transform(df: DataFrame) -> DataFrame:
+        with_fp = df.withColumn("_fp", fingerprint(F.col(text_column)))
+        reps = (
+            with_fp.groupBy("_fp")
+            .agg(F.min(id_column).alias("_rep"))
+            .withColumnRenamed("_fp", "_fp_r")
+        )
+        return (
+            with_fp.join(
+                reps,
+                (with_fp["_fp"] == reps["_fp_r"])
+                & (with_fp[id_column] == reps["_rep"]),
+                "left_semi",
+            ).drop("_fp")
+        )
+
+    return _transform
+
+
+def minhash_signatures(
+    id_column: str,
+    text_column: str,
+    num_hashes: int = 16,
+    shingle_k: int = 3,
+    seed: int = 42,
+) -> Callable[[DataFrame], DataFrame]:
+    """MinHash signatures over distinct word shingles:
+    ``(_id, _sig array<long>)``; documents with fewer than ``shingle_k``
+    words are dropped.
+
+    Staged so each expensive array (shingles, md5 hashes) materializes
+    exactly once — Catalyst does not CSE repeated subexpressions across
+    the ``num_hashes`` per-permutation lambdas, so inlining the md5 work
+    into every permutation would multiply scan cost by ``num_hashes``.
+    Pure array expressions — no shuffle, no UDF."""
+
+    def _transform(df: DataFrame) -> DataFrame:
+        s0 = _scale_out(df).select(
+            F.col(id_column).alias("_id"),
+            words(F.col(text_column)).alias("_w"),
+        )
+        # filter on the token count, not on size(_sh) — a pushed-down
+        # filter on _sh would re-inline the whole shingle pipeline into
+        # the scan predicate (equivalent: _sh empty iff len(_w) < k)
+        s1 = s0.filter(F.size("_w") >= shingle_k).select(
+            "_id", shingles_from_words(F.col("_w"), shingle_k).alias("_sh")
+        )
+        s2 = s1.select(
+            "_id", F.transform("_sh", lambda s: hash28(s)).alias("_hh")
+        )
+        sig = F.array(
+            *[
+                F.array_min(
+                    F.transform(
+                        "_hh",
+                        lambda h: (F.lit(a) * h + F.lit(b)) % MERSENNE31,
+                    )
+                )
+                for a, b in minhash_params(num_hashes, seed)
+            ]
+        )
+        return s2.select("_id", sig.alias("_sig"))
+
+    return _transform
+
+
+def minhash_lsh_pairs(
+    id_column: str,
+    text_column: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    seed: int = 42,
+    min_signature_similarity: float = 0.5,
+) -> Callable[[DataFrame], DataFrame]:
+    """Near-duplicate candidate pairs via banded MinHash-LSH.
+
+    rows-per-band r = num_hashes // bands; two documents collide when any
+    band of their signatures is identical. Collisions are then scored by
+    full-signature agreement and filtered at ``min_signature_similarity``.
+
+    Output: (id_a, id_b, sig_similarity), id_a < id_b.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    r = num_hashes // bands
+
+    def _transform(df: DataFrame) -> DataFrame:
+        sigs = df.transform(
+            minhash_signatures(
+                id_column, text_column, num_hashes, shingle_k, seed
+            )
+        )
+        band_rows = sigs.select(
+            "_id",
+            "_sig",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("band"),
+                            F.md5(
+                                F.concat_ws(
+                                    ",", F.slice("_sig", j * r + 1, r)
+                                )
+                            ).alias("bh"),
+                        )
+                        for j in range(bands)
+                    ]
+                )
+            ).alias("b"),
+        ).select("_id", "_sig", "b.band", "b.bh")
+
+        left = band_rows.select(
+            F.col("_id").alias("id_a"),
+            F.col("_sig").alias("sig_a"),
+            "band",
+            "bh",
+        )
+        right = band_rows.select(
+            F.col("_id").alias("id_b"),
+            F.col("_sig").alias("sig_b"),
+            "band",
+            "bh",
+        )
+        pairs = (
+            left.join(right, ["band", "bh"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "sig_a", "sig_b")
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        sim = (
+            F.size(
+                F.filter(
+                    F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                    lambda eq: eq,
+                )
+            )
+            / F.lit(float(num_hashes))
+        ).alias("sig_similarity")
+        return (
+            pairs.select("id_a", "id_b", sim)
+            .filter(F.col("sig_similarity") >= min_signature_similarity)
+        )
+
+    return _transform
+
+
+def ngram_jaccard_pairs(
+    id_column: str,
+    text_column: str,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> Callable[[DataFrame], DataFrame]:
+    """Exact n-gram Jaccard similarity pairs (≥ threshold) via a shingle
+    self-join + intersection count — the verification path for LSH
+    candidates (and the DuckDB-oracle-matched query).
+
+    Join keys are 56-bit md5 shingle hashes, not shingle strings: the
+    shuffle moves 8-byte longs and the join compares longs. (The oracle
+    joins on the identical hash, so even a freak 56-bit collision —
+    P ≈ n²/2⁵⁷ — cannot cause a cross-engine mismatch.)
+
+    Scale note: cost is Σ bucket² over shingle buckets. For zipfian
+    natural-language corpora, add a prefix filter (AllPairs/PPJoin) or
+    feed LSH candidates through this as the verifier instead of running
+    it all-pairs; for bounded-vocabulary corpora (like the synthetic
+    testdata) the dense join is the faster shape — prefix filtering was
+    measured 5× slower here because nearly all pairs intersect.
+
+    Output: (id_a, id_b, jaccard).
+    """
+
+    def _transform(df: DataFrame) -> DataFrame:
+        sh = _scale_out(df).select(
+            F.col(id_column).alias("_id"),
+            F.explode(word_shingles(F.col(text_column), shingle_k)).alias(
+                "_s"
+            ),
+        ).select("_id", hash56(F.col("_s")).alias("_h"))
+        counts = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+        inter = (
+            sh.alias("a")
+            .join(sh.alias("b"), "_h")
+            .filter(F.col("a._id") < F.col("b._id"))
+            .groupBy(
+                F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
+            )
+            .agg(F.count(F.lit(1)).alias("_k"))
+        )
+        ca = counts.select(
+            F.col("_id").alias("id_a"), F.col("_n").alias("_na")
+        )
+        cb = counts.select(
+            F.col("_id").alias("id_b"), F.col("_n").alias("_nb")
+        )
+        jac = (
+            F.col("_k")
+            / (F.col("_na") + F.col("_nb") - F.col("_k"))
+        ).alias("jaccard")
+        return (
+            inter.join(ca, "id_a")
+            .join(cb, "id_b")
+            .select("id_a", "id_b", jac)
+            .filter(F.col("jaccard") >= threshold)
+        )
+
+    return _transform
+
+
+def simhash_table(
+    id_column: str, text_column: str, bits: int = 63
+) -> Callable[[DataFrame], DataFrame]:
+    """63-bit frequency-weighted SimHash per document.
+
+    explode(words) → md5-derived 56-bit token hash → per-bit ±1 majority
+    vote → assemble bits into one BIGINT. One shuffle (groupBy doc id);
+    the 63 conditional sums are a single aggregation pass.
+
+    Output: (id, simhash). Empty documents are absent from the output.
+    """
+
+    def _transform(df: DataFrame) -> DataFrame:
+        toks = _scale_out(df).select(
+            F.col(id_column).alias("id"),
+            F.explode(words(F.col(text_column))).alias("_tok"),
+        ).withColumn("_h", hash56(F.col("_tok")))
+        votes = toks.groupBy("id").agg(
+            *[
+                F.sum(
+                    F.when(
+                        F.col("_h").bitwiseAND(F.lit(1 << b)) != 0, 1
+                    ).otherwise(-1)
+                ).alias(f"_v{b}")
+                for b in range(bits)
+            ]
+        )
+        assembled = None
+        for b in range(bits):
+            term = F.when(F.col(f"_v{b}") > 0, F.lit(1 << b)).otherwise(
+                F.lit(0)
+            )
+            assembled = term if assembled is None else assembled + term
+        return votes.select("id", assembled.cast("long").alias("simhash"))
+
+    return _transform

@@ -1,0 +1,193 @@
+"""Deduplication queries over ``documents`` + DuckDB oracles.
+
+The MinHash oracle re-derives the full signature/banding pipeline in SQL
+(list comprehensions + the same md5-derived 28-bit hashes and seeded
+permutation coefficients), so even the approximate path is hash-checked
+exactly. SimHash likewise (generated 63-bit majority-vote SQL).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pywrangler_spark.operators.dedup import (
+    MERSENNE31,
+    dedup_exact,
+    duplicate_groups,
+    minhash_lsh_pairs,
+    minhash_params,
+    ngram_jaccard_pairs,
+    simhash_table,
+)
+from pywrangler_spark.queries import register
+from pywrangler_spark.sources import read_parquet
+
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_parquet(spark, os.path.join(sf_dir, "documents.parquet"))
+
+
+_DEDUP_GROUPS_ORACLE = f"""
+SELECT md5({_NORM_SQL}) AS fingerprint,
+       min(doc_id) AS rep_id,
+       count(*) AS n_docs
+FROM documents
+GROUP BY 1
+"""
+
+
+@register("dedup_exact_groups", oracle=_DEDUP_GROUPS_ORACLE)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).transform(duplicate_groups("doc_id", "text"))
+
+
+_DEDUP_ROWS_ORACLE = f"""
+SELECT doc_id, text, lang, source, n_chars
+FROM documents
+QUALIFY row_number() OVER (PARTITION BY md5({_NORM_SQL})
+                           ORDER BY doc_id) = 1
+"""
+
+
+@register("dedup_exact_rows", oracle=_DEDUP_ROWS_ORACLE)
+def dedup_exact_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).transform(dedup_exact("doc_id", "text"))
+
+
+# ---- n-gram Jaccard (exact near-dup verification path) --------------------
+
+_SHINGLES_SQL = f"""
+WITH d AS (
+    SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
+), sh AS (
+    SELECT DISTINCT doc_id, s
+    FROM d, UNNEST(list_transform(
+        range(1, greatest(len(w) - 2, 0) + 1),
+        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) t(s)
+)
+"""
+
+_JACCARD_ORACLE = (
+    _SHINGLES_SQL
+    + """
+, shh AS (
+    SELECT doc_id, ('0x' || substr(md5(s), 1, 14))::BIGINT AS h FROM sh
+), cnt AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS k
+    FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT id_a, id_b, round(k * 1.0 / (ca.n + cb.n - k), 6) AS jaccard
+FROM inter
+JOIN cnt ca ON ca.doc_id = id_a
+JOIN cnt cb ON cb.doc_id = id_b
+WHERE k * 1.0 / (ca.n + cb.n - k) >= 0.5
+"""
+)
+
+
+@register("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _docs(spark, sf_dir).transform(
+        ngram_jaccard_pairs("doc_id", "text", shingle_k=3, threshold=0.5)
+    )
+    return pairs.withColumn("jaccard", F.round("jaccard", 6))
+
+
+# ---- MinHash + LSH ---------------------------------------------------------
+
+_NUM_HASHES, _BANDS, _ROWS = 16, 4, 4
+
+
+def _minhash_oracle() -> str:
+    params = minhash_params(_NUM_HASHES)
+    sig_exprs = ", ".join(
+        f"list_min(list_transform(hh, h -> ({a} * h + {b}) % {MERSENNE31}))"
+        for a, b in params
+    )
+    band_exprs = ", ".join(
+        "md5(array_to_string(sig[{lo}:{hi}], ','))".format(
+            lo=j * _ROWS + 1, hi=(j + 1) * _ROWS
+        )
+        for j in range(_BANDS)
+    )
+    return (
+        _SHINGLES_SQL
+        + f"""
+, shl AS (
+    SELECT doc_id, list(s) AS shs FROM sh GROUP BY doc_id
+), hs AS (
+    SELECT doc_id,
+           list_transform(shs, s -> ('0x' || substr(md5(s), 1, 7))::BIGINT)
+               AS hh
+    FROM shl WHERE len(shs) > 0
+), sig_t AS (
+    SELECT doc_id, [{sig_exprs}] AS sig FROM hs
+), bands_t AS (
+    SELECT doc_id, sig, UNNEST([{band_exprs}]) AS bh,
+           UNNEST(range(0, {_BANDS})) AS band
+    FROM sig_t
+), pairs AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           a.sig AS sig_a, b.sig AS sig_b
+    FROM bands_t a JOIN bands_t b
+      ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       list_sum(list_transform(range(1, {_NUM_HASHES} + 1),
+           i -> CASE WHEN sig_a[i] = sig_b[i] THEN 1 ELSE 0 END))
+           / {float(_NUM_HASHES)} AS sig_similarity
+FROM pairs
+WHERE list_sum(list_transform(range(1, {_NUM_HASHES} + 1),
+          i -> CASE WHEN sig_a[i] = sig_b[i] THEN 1 ELSE 0 END))
+          / {float(_NUM_HASHES)} >= 0.5
+"""
+    )
+
+
+@register("dedup_minhash_lsh", oracle=_minhash_oracle())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).transform(
+        minhash_lsh_pairs(
+            "doc_id",
+            "text",
+            num_hashes=_NUM_HASHES,
+            bands=_BANDS,
+            min_signature_similarity=0.5,
+        )
+    )
+
+
+# ---- SimHash ----------------------------------------------------------------
+
+
+def _simhash_oracle(bits: int = 63) -> str:
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(bits)
+    )
+    assemble = " + ".join(
+        f"CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(bits)
+    )
+    return f"""
+WITH toks AS (
+    SELECT doc_id, UNNEST(string_split({_NORM_SQL}, ' ')) AS tok
+    FROM documents
+), hashed AS (
+    SELECT doc_id, ('0x' || substr(md5(tok), 1, 14))::BIGINT AS h FROM toks
+), votes AS (
+    SELECT doc_id AS id, {votes} FROM hashed GROUP BY doc_id
+)
+SELECT id, CAST({assemble} AS BIGINT) AS simhash FROM votes
+"""
+
+
+@register("dedup_simhash", oracle=_simhash_oracle())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).transform(simhash_table("doc_id", "text"))

@@ -1,0 +1,57 @@
+"""Multimodal (binary-column) queries over ``documents``.
+
+``multimodal_blob_stats`` stays JVM-side (metadata-only plan over the
+blob) and is oracle-checked. ``multimodal_features`` exercises the real
+Arrow-batched ``mapInPandas`` path (fake decoder — see
+``operators.multimodal``); its per-byte statistics are not reasonably
+SQL-expressible, so the driver records the rows-only check for it while
+the test suite pins exact values.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pywrangler_spark.operators.multimodal import (
+    attach_blob,
+    extract_blob_features,
+)
+from pywrangler_spark.queries import register
+from pywrangler_spark.sources import read_parquet
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_parquet(spark, os.path.join(sf_dir, "documents.parquet"))
+
+
+_BLOB_STATS_ORACLE = """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       hex(encode(substring(text, 1, 8))) AS head_hex,
+       md5(text) AS content_md5,
+       'raw/utf-8' AS format
+FROM documents
+"""
+
+
+@register("multimodal_blob_stats", oracle=_BLOB_STATS_ORACLE)
+def multimodal_blob_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    with_blob = _docs(spark, sf_dir).transform(attach_blob("text"))
+    return with_blob.select(
+        "doc_id",
+        F.col("blob_meta.n_bytes").alias("n_bytes"),
+        F.hex(F.encode(F.substring("text", 1, 8), "utf-8")).alias("head_hex"),
+        F.md5("text").alias("content_md5"),
+        F.col("blob_meta.format").alias("format"),
+    )
+
+
+@register("multimodal_features")
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    with_blob = _docs(spark, sf_dir).transform(attach_blob("text"))
+    return with_blob.transform(
+        extract_blob_features("doc_id", "blob", decoder="fake")
+    )

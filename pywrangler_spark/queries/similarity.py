@@ -1,0 +1,100 @@
+"""Similarity-search queries over ``embeddings`` + DuckDB oracles.
+
+Cosine is computed as an index-ordered f64 fold on both engines and
+rounded to 6 dp before ranking/filtering, so fp summation noise cannot
+flip a rank or a threshold decision.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pywrangler_spark.operators.similarity import (
+    cosine_neardup_pairs,
+    topk_cosine,
+    topk_cosine_lsh,
+)
+from pywrangler_spark.queries import register
+from pywrangler_spark.sources import read_parquet
+
+# unit-vector form, mirroring the Spark plan (normalize once per row, one
+# dot per pair) so the f64 op sequence — and hence every bit — matches
+_UNIT_E = """
+    SELECT vec_id,
+           list_transform(embedding::DOUBLE[],
+               x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                              embedding::DOUBLE[]))) AS u
+    FROM embeddings
+"""
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_parquet(spark, os.path.join(sf_dir, "embeddings.parquet"))
+
+
+_TOPK_ORACLE = f"""
+WITH e AS ({_UNIT_E}
+), q AS (
+    SELECT vec_id AS qid, u AS qu FROM e WHERE vec_id % 40 = 0
+), scored AS (
+    SELECT qid AS query_id, e.vec_id AS neighbor_id,
+           round(list_dot_product(qu, u), 6) AS cosine
+    FROM q JOIN e ON e.vec_id != q.qid
+)
+SELECT query_id, neighbor_id, cosine, CAST(rn AS INT) AS rank
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS rn
+    FROM scored
+)
+WHERE rn <= 10
+"""
+
+
+@register("ann_topk_bruteforce", oracle=_TOPK_ORACLE)
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _emb(spark, sf_dir).transform(
+        topk_cosine(
+            "vec_id",
+            "embedding",
+            k=10,
+            query_filter=F.col("vec_id") % 40 == 0,
+        )
+    )
+
+
+# LSH path: validated against brute force by recall tests (non-SQL oracle —
+# the deterministic hyperplane matrix is a python-side artifact). The driver
+# records a rows-only check for it.
+@register("ann_topk_lsh")
+def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _emb(spark, sf_dir).transform(
+        topk_cosine_lsh(
+            "vec_id",
+            "embedding",
+            k=10,
+            n_planes=8,
+            query_filter=F.col("vec_id") % 40 == 0,
+        )
+    )
+
+
+_NEARDUP_ORACLE = f"""
+WITH e AS ({_UNIT_E}
+), p AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.u, b.u), 6) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.3
+"""
+
+
+@register("embedding_neardup_pairs", oracle=_NEARDUP_ORACLE)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _emb(spark, sf_dir).transform(
+        cosine_neardup_pairs("vec_id", "embedding", threshold=0.3)
+    )

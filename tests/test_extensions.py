@@ -1,0 +1,229 @@
+"""Tests for the scale extensions: dedup, similarity search, text
+analysis, multimodal plumbing.
+
+The approximate paths (MinHash-LSH, hyperplane-LSH ANN) are validated
+against their exact counterparts on real testdata — recall is the
+contract, since no SQL oracle can pin them.
+"""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from pywrangler_spark.operators.dedup import (
+    dedup_exact,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_table,
+)
+from pywrangler_spark.operators.multimodal import (
+    attach_blob,
+    extract_blob_features,
+)
+from pywrangler_spark.operators.similarity import (
+    cosine_neardup_pairs,
+    topk_cosine,
+    topk_cosine_lsh,
+)
+from pywrangler_spark.functions.text import lang_id, token_count
+from pywrangler_spark.sources import read_parquet
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return read_parquet(spark, f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return read_parquet(spark, f"{SF}/embeddings.parquet").cache()
+
+
+class TestDedup:
+    def test_exact_dedup_idempotent(self, spark, docs):
+        deduped = docs.transform(dedup_exact("doc_id", "text"))
+        again = deduped.transform(dedup_exact("doc_id", "text"))
+        assert deduped.count() == again.count()
+        assert deduped.columns == docs.columns
+
+    def test_exact_dedup_removes_planted_dupes(self, spark, docs):
+        planted = docs.union(
+            docs.limit(5).withColumn("doc_id", F.col("doc_id") + 10_000)
+        )
+        deduped = planted.transform(dedup_exact("doc_id", "text"))
+        assert deduped.count() == docs.count()
+        # representative is the minimum id → original rows survive
+        assert deduped.filter(F.col("doc_id") >= 10_000).count() == 0
+
+    def test_minhash_finds_exact_jaccard_pairs(self, spark, docs):
+        """LSH candidates must cover the high-similarity exact pairs
+        (recall at jaccard ≥ 0.8 should be ~1 with 4 bands × 4 rows)."""
+        exact = {
+            (r.id_a, r.id_b)
+            for r in docs.transform(
+                ngram_jaccard_pairs("doc_id", "text", threshold=0.8)
+            ).collect()
+        }
+        lsh = {
+            (r.id_a, r.id_b)
+            for r in docs.transform(
+                minhash_lsh_pairs(
+                    "doc_id", "text", min_signature_similarity=0.5
+                )
+            ).collect()
+        }
+        if exact:
+            recall = len(exact & lsh) / len(exact)
+            assert recall >= 0.9, f"LSH recall {recall} over {len(exact)} pairs"
+
+    def test_minhash_similarity_tracks_jaccard(self, spark, docs):
+        """Near-identical docs (jaccard ~1) must have sig_similarity ~1."""
+        planted = docs.union(
+            docs.filter(F.col("doc_id") < 3)
+            .withColumn("doc_id", F.col("doc_id") + 10_000)
+        )
+        pairs = planted.transform(
+            minhash_lsh_pairs("doc_id", "text", min_signature_similarity=0.5)
+        ).filter(F.col("id_b") == F.col("id_a") + 10_000)
+        rows = {r.id_a: r.sig_similarity for r in pairs.collect()}
+        for doc_id in range(3):
+            assert rows.get(doc_id) == 1.0
+
+    def test_simhash_identical_docs_equal(self, spark, docs):
+        planted = docs.filter(F.col("doc_id") < 3).withColumn(
+            "doc_id", F.col("doc_id") + 10_000
+        )
+        sh = docs.union(planted).transform(simhash_table("doc_id", "text"))
+        vals = {r.id: r.simhash for r in sh.collect()}
+        for doc_id in range(3):
+            assert vals[doc_id] == vals[doc_id + 10_000]
+        # and the sketch is discriminative: not all equal
+        assert len(set(vals.values())) > 1
+
+
+class TestSimilarity:
+    def test_lsh_recall_vs_bruteforce(self, spark, embeddings):
+        qf = F.col("vec_id") % 25 == 0
+        exact = topk_cosine("vec_id", "embedding", k=10, query_filter=qf)(
+            embeddings
+        )
+        approx = topk_cosine_lsh(
+            "vec_id", "embedding", k=10, n_planes=8, query_filter=qf
+        )(embeddings)
+        e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+        a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+        recall = len(e & a) / len(e)
+        # 8 planes + multiprobe on 64-dim random data: recall is moderate
+        # by design; the contract is "substantially better than random"
+        assert recall >= 0.3, f"LSH recall {recall}"
+
+    def test_topk_rank_contract(self, spark, embeddings):
+        out = topk_cosine(
+            "vec_id", "embedding", k=5, query_filter=F.col("vec_id") == 0
+        )(embeddings)
+        rows = sorted(
+            (r.rank, r.cosine, r.neighbor_id) for r in out.collect()
+        )
+        assert [r[0] for r in rows] == [1, 2, 3, 4, 5]
+        sims = [r[1] for r in rows]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r[2] != 0 for r in rows)
+
+    def test_neardup_pairs_symmetric_bound(self, spark, embeddings):
+        pairs = cosine_neardup_pairs("vec_id", "embedding", threshold=0.3)(
+            embeddings
+        ).collect()
+        for r in pairs:
+            assert r.id_a < r.id_b
+            assert r.cosine >= 0.3
+
+
+class TestShortDocuments:
+    """Regression: Spark's sequence(0, n<0) DESCENDS instead of being
+    empty — sub-k-word documents must not crash the shingle operators."""
+
+    def test_short_and_empty_texts_flow_through(self, spark):
+        weird = spark.createDataFrame(
+            [(1, "a b"), (2, ""), (3, "x"), (4, "a b c d"), (5, None)],
+            "doc_id long, text string",
+        )
+        assert (
+            ngram_jaccard_pairs("doc_id", "text")(weird).count() == 0
+        )
+        assert (
+            minhash_lsh_pairs("doc_id", "text")(weird).count() == 0
+        )
+        from pywrangler_spark.functions.text import word_shingles
+
+        sizes = {
+            r.doc_id: r.n
+            for r in weird.select(
+                "doc_id", F.size(word_shingles(F.col("text"))).alias("n")
+            ).collect()
+        }
+        assert sizes == {1: 0, 2: 0, 3: 0, 4: 2, 5: 0}  # null text → []
+
+
+class TestText:
+    def test_token_count_matches_python(self, spark):
+        df = spark.createDataFrame(
+            [("hello  world ",), ("",), ("one",)], "t string"
+        )
+        got = [
+            r[0]
+            for r in df.select(token_count(F.col("t"))).collect()
+        ]
+        assert got == [2, 0, 1]
+
+    def test_lang_id_deterministic(self, spark):
+        df = spark.createDataFrame(
+            [
+                ("the cat and the dog is here",),
+                ("der hund und die katze ist da",),
+                ("xyzzy qwerty",),
+            ],
+            "t string",
+        )
+        got = [r[0] for r in df.select(lang_id(F.col("t"))).collect()]
+        assert got == ["en", "de", "und"]
+
+
+class TestMultimodal:
+    def test_blob_roundtrip(self, spark, docs):
+        b = docs.transform(attach_blob("text"))
+        row = b.select("text", "blob", "blob_meta").first()
+        assert bytes(row.blob).decode("utf-8") == row.text
+        assert row.blob_meta.n_bytes == len(row.text.encode("utf-8"))
+
+    def test_feature_extraction_deterministic(self, spark, docs):
+        feats = (
+            docs.transform(attach_blob("text"))
+            .transform(extract_blob_features("doc_id", "blob"))
+        )
+        assert feats.count() == docs.count()
+        row = feats.filter(F.col("doc_id") == 0).first()
+        text = docs.filter(F.col("doc_id") == 0).first().text
+        raw = text.encode("utf-8")
+        assert row.n_bytes == len(raw)
+        assert row.byte_min == min(raw)
+        assert row.byte_max == max(raw)
+        assert row.head_checksum == sum(raw[:64])
+        assert abs(row.byte_mean - sum(raw) / len(raw)) < 1e-9
+
+    def test_real_decoder_is_stubbed(self, spark, docs):
+        feats = docs.transform(attach_blob("text")).transform(
+            extract_blob_features("doc_id", "blob", decoder="real")
+        )
+        with pytest.raises(Exception, match="NotImplementedError|media"):
+            feats.collect()
+
+    def test_repartition_invariance(self, spark, docs):
+        feats = lambda d: (
+            d.transform(attach_blob("text"))
+            .transform(extract_blob_features("doc_id", "blob"))
+        )
+        a = sorted(map(tuple, feats(docs).collect()))
+        b = sorted(map(tuple, feats(docs.repartition(7)).collect()))
+        assert a == b
