@@ -1,0 +1,177 @@
+"""Tests for the Pipeline layer, plan introspection, and profilers."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pywrangler_spark import IntervalIdentifier, identify_intervals
+from pywrangler_spark.benchmark import (
+    MemoryProfiler,
+    SparkTimeProfiler,
+    TimeProfiler,
+)
+from pywrangler_spark.pipeline import Pipeline
+from pywrangler_spark.plans import (
+    codegen_stage_count,
+    count_exchanges,
+    explain_string,
+    scan_info,
+)
+from pywrangler_spark.sources import read_parquet
+
+SF = "/root/testdata/sf0.001"
+
+
+def add_double(df, factor=2.0):
+    """Double the value column."""
+    return df.withColumn("value2", F.col("value") * factor)
+
+
+def drop_props(df):
+    return df.drop("props")
+
+
+@pytest.fixture()
+def events(spark):
+    return read_parquet(spark, f"{SF}/events.parquet")
+
+
+class TestPipeline:
+    def make(self):
+        wrangler = IntervalIdentifier(
+            marker_column="event_type",
+            marker_start="signup",
+            marker_end="purchase",
+            orderby_columns="ts",
+            groupby_columns="user_id",
+        )
+        return Pipeline([add_double, drop_props, wrangler])
+
+    def test_transform_composes(self, spark, events):
+        out = self.make().transform(events)
+        assert "iids" in out.columns
+        assert "value2" in out.columns
+        assert "props" not in out.columns
+        assert out.count() == events.count()
+
+    def test_stage_access_by_index_name_fuzzy(self, spark, events):
+        p = self.make()
+        assert p[0].name == "add_double"
+        assert p["drop_props"].name == "drop_props"
+        assert p["interval"].name == "IntervalIdentifier"  # fuzzy
+        assert p[-1].name == "IntervalIdentifier"
+        with pytest.raises(ValueError, match="no stage matches"):
+            p["bogus"]
+        with pytest.raises(ValueError, match="ambiguous"):
+            Pipeline([add_double, add_double])["add"]
+
+    def test_params_extraction(self):
+        p = self.make()
+        assert p[0].params == {"factor": 2.0}
+        assert p[2].params["marker_start"] == "signup"
+        assert p[0].doc.startswith("Double the value")
+
+    def test_intermediate_df_access(self, spark, events):
+        p = self.make()
+        with pytest.raises(RuntimeError, match="transform"):
+            p(0)
+        p.transform(events)
+        assert "value2" in p(0).columns
+        assert "props" not in p("drop_props").columns
+        assert "iids" in p(2).columns
+
+    def test_caching_control(self, spark, events):
+        p = self.make()
+        p.cacher.enable("drop_props")
+        assert p.cacher.enabled_indices == [1]
+        p.transform(events)
+        assert p(1).is_cached
+        p.cacher.clear()
+        assert not p(1).is_cached
+        assert p.cacher.enabled_indices == []
+
+    def test_describe_and_profile(self, spark, events):
+        p = self.make()
+        p.transform(events)
+        desc = p.describe()
+        assert [d["name"] for d in desc] == [
+            "add_double",
+            "drop_props",
+            "IntervalIdentifier",
+        ]
+        prof = p.profile()
+        assert all(r["rows"] == events.count() for r in prof)
+        assert prof[0]["exchanges"] == 0  # projection only
+        assert prof[2]["exchanges"] == 1  # single-window operator
+        assert all(r["seconds"] >= 0 for r in prof)
+
+    def test_ml_transformer_stage(self, spark, events):
+        from pyspark.ml.feature import SQLTransformer
+
+        p = Pipeline(
+            [SQLTransformer(statement="SELECT *, value * 2 AS v2 FROM __THIS__")]
+        )
+        out = p.transform(events)
+        assert "v2" in out.columns
+        assert p[0].name == "SQLTransformer"
+
+
+class TestPlanInspection:
+    def test_explain_and_exchange_count(self, spark, events):
+        zero = events.select("event_id")
+        assert count_exchanges(zero) == 0
+        one = events.transform(
+            identify_intervals(
+                marker_column="event_type",
+                marker_start="signup",
+                marker_end="purchase",
+                orderby_columns="ts",
+                groupby_columns="user_id",
+            )
+        )
+        assert count_exchanges(one) == 1  # the headline claim
+        assert "Exchange" in explain_string(one)
+
+    def test_scan_info_pushdown(self, spark, events):
+        df = events.filter(F.col("user_id") == 3).select("event_id", "user_id")
+        scans = scan_info(df)
+        assert scans, "no scan found"
+        assert "user_id" in scans[0].get("pushed_filters", "")
+        read = scans[0].get("read_schema", "")
+        assert "event_id" in read and "props" not in read
+
+    def test_codegen_stage_count(self, spark, events):
+        assert codegen_stage_count(events.select("event_id")) >= 1
+
+
+class TestProfilers:
+    def test_time_profiler_stats(self):
+        calls = []
+        prof = TimeProfiler(lambda: calls.append(1), runs=4).profile()
+        assert len(calls) == 4
+        rep = prof.report()
+        assert rep["best"] <= rep["median"] <= rep["worst"]
+        assert rep["runs"] == 4
+
+    def test_spark_time_profiler(self, spark, events):
+        prof = SparkTimeProfiler(
+            lambda df: df.groupBy("user_id").count(), runs=2
+        ).profile(events)
+        assert len(prof.timings) == 2 and prof.best > 0
+
+    def test_spark_time_profiler_cached_input(self, spark, events):
+        prof = SparkTimeProfiler(
+            lambda df: df.groupBy("user_id").count(),
+            runs=2,
+            cache_input=True,
+        ).profile(events)
+        assert prof.best > 0
+        assert not events.is_cached  # unpersisted afterwards
+
+    def test_memory_profiler(self):
+        def allocate():
+            block = bytearray(64 * 1024 * 1024)
+            return len(block)
+
+        prof = MemoryProfiler(allocate, runs=2, interval=0.005).profile()
+        rep = prof.report()
+        assert rep["max_increase_bytes"] > 32 * 1024 * 1024
