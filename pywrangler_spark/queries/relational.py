@@ -351,3 +351,91 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total_revenue")
         )
     )
+
+
+_CUBE_ORACLE = f"""
+SELECT l_returnflag, l_linestatus,
+       {_dsum_sql('l_quantity')} AS sum_qty,
+       count(*) AS n_items
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+@register("cube_quantities", oracle=_CUBE_ORACLE)
+def cube_quantities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        dsum(F.col("l_quantity")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+_PIVOT_ORACLE = f"""
+SELECT l_returnflag,
+       {_dsum_sql("CASE WHEN l_linestatus = 'O' THEN l_extendedprice END")}
+           AS status_o,
+       {_dsum_sql("CASE WHEN l_linestatus = 'F' THEN l_extendedprice END")}
+           AS status_f
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("pivot_status_revenue", oracle=_PIVOT_ORACLE)
+def pivot_status_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(dsum(F.col("l_extendedprice")))
+        .select(
+            "l_returnflag",
+            F.col("O").alias("status_o"),
+            F.col("F").alias("status_f"),
+        )
+    )
+
+
+_SETOPS_ORACLE = """
+SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_totalprice > 150000
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
+@register("setops_building_big_spenders", oracle=_SETOPS_ORACLE)
+def setops_building_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select(F.col("c_custkey").alias("custkey"))
+    orders = _t(spark, sf_dir, "orders")
+    big = orders.filter(F.col("o_totalprice") > 150000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    filled = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return cust.intersect(big).exceptAll(filled.distinct())
+
+
+_DISTINCT_ORACLE = """
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_suppkey) AS n_suppliers,
+       count(*) AS n_items
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("distinct_counts", oracle=_DISTINCT_ORACLE)
+def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.count(F.lit(1)).alias("n_items"),
+    )

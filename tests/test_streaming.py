@@ -1,0 +1,144 @@
+"""Streaming operator tests: file-source micro-batches → memory sink,
+compared against the batch operators on the same data."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from pywrangler_spark import identify_intervals
+from pywrangler_spark.operators.sessionize import session_stats
+from pywrangler_spark.sources import read_parquet
+from pywrangler_spark.streaming import (
+    stream_identify_intervals,
+    stream_session_stats,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(spark, tmp_path_factory):
+    """Events split into two time-ordered parquet files so micro-batches
+    respect per-group event-time order."""
+    base = str(tmp_path_factory.mktemp("events_stream"))
+    ev = read_parquet(spark, f"{SF}/events.parquet")
+    cutoff = ev.agg(F.percentile_approx("ts", 0.5)).first()[0]
+    ev.filter(F.col("ts") <= cutoff).coalesce(1).write.parquet(
+        os.path.join(base, "batch=0")
+    )
+    ev.filter(F.col("ts") > cutoff).coalesce(1).write.parquet(
+        os.path.join(base, "batch=1")
+    )
+    files_dir = os.path.join(base, "files")
+    os.makedirs(files_dir)
+    n = 0
+    for sub in ("batch=0", "batch=1"):
+        for name in sorted(os.listdir(os.path.join(base, sub))):
+            if name.endswith(".parquet"):
+                dest = os.path.join(files_dir, f"{n:03d}.parquet")
+                shutil.copy(os.path.join(base, sub, name), dest)
+                # the file source micro-batches oldest-mtime-first; pin
+                # mtimes so batch order == event-time order
+                os.utime(dest, (1_700_000_000 + n * 60,) * 2)
+                n += 1
+    return files_dir
+
+
+def _run_stream(spark, transform, files_dir, schema, sink_name):
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(files_dir)
+    )
+    q = (
+        transform(sdf)
+        .writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(sink_name)
+
+
+class TestStreamingIntervals:
+    def test_matches_batch_on_resolved_rows(self, spark, events_stream_dir):
+        ev = read_parquet(spark, f"{SF}/events.parquet")
+        batch = ev.transform(
+            identify_intervals(
+                marker_column="event_type",
+                marker_start="signup",
+                marker_end="purchase",
+                orderby_columns="ts",
+                groupby_columns="user_id",
+            )
+        )
+        streamed = _run_stream(
+            spark,
+            stream_identify_intervals(
+                "event_type", "signup", "purchase", "user_id", "ts"
+            ),
+            events_stream_dir,
+            ev.schema,
+            "intervals_sink",
+        )
+        got = {
+            (r.user_id, r.ts): r.iids for r in streamed.collect()
+        }
+        expected = {
+            (r.user_id, r.ts): r.iids for r in batch.collect()
+        }
+        assert got, "stream emitted nothing"
+        # every emitted row must carry the exact batch id (append rows
+        # are final — they may never disagree with the batch result)
+        for k, v in got.items():
+            assert expected[k] == v, f"row {k}: stream {v} vs batch {expected[k]}"
+        # unemitted rows are exactly the unresolved trailing candidates:
+        # batch marks them 0 (unclosed) or they extend past the last end
+        pending = set(expected) - set(got)
+        ev_types = {
+            (r.user_id, r.ts): r.event_type for r in ev.collect()
+        }
+        for k in pending:
+            assert expected[k] == 0 or ev_types[k] != "purchase"
+
+    def test_emits_bulk_of_rows(self, spark, events_stream_dir):
+        streamed = spark.table("intervals_sink")
+        total = read_parquet(spark, f"{SF}/events.parquet").count()
+        assert streamed.count() > total * 0.8
+
+
+class TestStreamingSessions:
+    def test_session_counts_match_batch(self, spark, events_stream_dir):
+        ev = read_parquet(spark, f"{SF}/events.parquet")
+        gap = 6 * 3600.0
+        batch = ev.transform(
+            session_stats("ts", gap, "user_id", value_column="value")
+        )
+        streamed = _run_stream(
+            spark,
+            stream_session_stats(
+                "ts", gap, "user_id", value_column="value", watermark="0 seconds"
+            ),
+            events_stream_dir,
+            ev.schema,
+            "sessions_sink",
+        )
+        # watermark 0 + availableNow: all sessions closed by end of input
+        b = {
+            (r.user_id, r.session_start): (r.n_events, round(r.value_sum, 2))
+            for r in batch.collect()
+        }
+        s = {
+            (r.user_id, r.session_start): (r.n_events, round(r.value_sum, 2))
+            for r in streamed.collect()
+        }
+        assert len(s) > 0
+        matching = sum(1 for k in s if b.get(k) == s[k])
+        # boundary semantics differ only at exact-gap edges (none in data)
+        assert matching / max(len(b), 1) > 0.95, (
+            f"{matching}/{len(b)} sessions match"
+        )
