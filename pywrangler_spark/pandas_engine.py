@@ -1,0 +1,139 @@
+"""Pandas engine: single-process wranglers with the same API and
+semantics as the Spark ones.
+
+The reference ships complete pandas + PySpark engines
+(``pw/pandas/wranglers/interval_identifier.py``); this module completes
+that parity line. The per-group algorithm is the *sequential executable
+spec* (``testing.spec``) that also property-checks the Spark window
+implementation — one source of truth for the semantics, two engines.
+
+Use for small-data/debug workflows; the Spark engine is the scale path.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Union
+
+import numpy as np
+import pandas as pd
+
+from pywrangler_spark.base import BaseWrangler
+from pywrangler_spark.operators.interval_identifier import (
+    NO_END_MARKER,
+    RESULT_TYPES,
+)
+from pywrangler_spark.testing.spec import naive_interval_ids
+from pywrangler_spark.util import ensure_iterable
+
+
+class PandasIntervalIdentifier(BaseWrangler):
+    """IntervalIdentifier on pandas DataFrames.
+
+    Same constructor contract as the Spark
+    :class:`~pywrangler_spark.operators.interval_identifier.IntervalIdentifier`;
+    unlike Spark, ``orderby_columns`` may be omitted (pandas frames have
+    an implicit order). Output preserves the input index and row order.
+    """
+
+    def __init__(
+        self,
+        marker_column: str,
+        marker_start: Any,
+        marker_end: Any = NO_END_MARKER,
+        marker_start_use_first: bool = False,
+        marker_end_use_first: bool = True,
+        orderby_columns: Optional[Union[str, Sequence[str]]] = None,
+        groupby_columns: Optional[Union[str, Sequence[str]]] = None,
+        ascending: Optional[Union[bool, Sequence[bool]]] = None,
+        result_type: str = "enumerated",
+        target_column_name: str = "iids",
+    ):
+        self.marker_column = marker_column
+        self.marker_start = marker_start
+        self.marker_end = marker_end
+        self.marker_start_use_first = marker_start_use_first
+        self.marker_end_use_first = marker_end_use_first
+        self.orderby_columns = ensure_iterable(orderby_columns)
+        self.groupby_columns = ensure_iterable(groupby_columns)
+        self.ascending = ensure_iterable(ascending, retain_none=True)
+        self.result_type = result_type
+        self.target_column_name = target_column_name
+
+        if result_type not in RESULT_TYPES:
+            raise ValueError(
+                f"result_type must be one of {RESULT_TYPES}, got {result_type!r}"
+            )
+        if self.ascending is None:
+            self.ascending = tuple(True for _ in self.orderby_columns)
+        elif len(self.ascending) != len(self.orderby_columns):
+            raise ValueError(
+                "`ascending` must match `orderby_columns` in length"
+            )
+
+    @property
+    def preserves_sample_size(self) -> bool:
+        return True
+
+    @property
+    def computation_engine(self) -> str:
+        return "pandas"
+
+    def fit(self, df: pd.DataFrame) -> "PandasIntervalIdentifier":
+        return self
+
+    def transform(self, df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            raise ValueError("empty DataFrame")
+        missing = [
+            c
+            for c in (
+                self.marker_column,
+                *self.orderby_columns,
+                *self.groupby_columns,
+            )
+            if c not in df.columns
+        ]
+        if missing:
+            raise ValueError(f"columns do not exist: {missing}")
+        if self.target_column_name in df.columns:
+            raise ValueError(
+                f"target column {self.target_column_name!r} already exists"
+            )
+
+        ordered = df
+        if self.orderby_columns:
+            ordered = df.sort_values(
+                list(self.orderby_columns),
+                ascending=list(self.ascending),
+                kind="mergesort",
+            )
+        if self.groupby_columns:
+            grouper = ordered.groupby(
+                list(self.groupby_columns), sort=False, dropna=False
+            )[self.marker_column]
+        else:
+            grouper = ordered.groupby(
+                np.zeros(len(ordered)), sort=False
+            )[self.marker_column]
+
+        ids = grouper.transform(
+            lambda s: pd.Series(
+                naive_interval_ids(
+                    [None if pd.isna(v) else v for v in s]
+                    if s.dtype == object
+                    else list(s),
+                    self.marker_start,
+                    self.marker_end,
+                    self.marker_start_use_first,
+                    self.marker_end_use_first,
+                    self.result_type,
+                ),
+                index=s.index,
+            )
+        )
+        out = df.copy()
+        out[self.target_column_name] = ids.reindex(df.index).astype("int64")
+        return out
+
+    def fit_transform(self, df: pd.DataFrame) -> pd.DataFrame:
+        return self.fit(df).transform(df)

@@ -1,5 +1,6 @@
 """Sources & sinks."""
 
+from pywrangler_spark.sources.formats import read_csv, read_json, write_table
 from pywrangler_spark.sources.parquet import (
     TABLE_NAMES,
     load_tables,
@@ -7,4 +8,12 @@ from pywrangler_spark.sources.parquet import (
     register_views,
 )
 
-__all__ = ["TABLE_NAMES", "read_parquet", "load_tables", "register_views"]
+__all__ = [
+    "TABLE_NAMES",
+    "read_parquet",
+    "load_tables",
+    "register_views",
+    "read_csv",
+    "read_json",
+    "write_table",
+]

@@ -227,3 +227,46 @@ class TestMultimodal:
         a = sorted(map(tuple, feats(docs).collect()))
         b = sorted(map(tuple, feats(docs.repartition(7)).collect()))
         assert a == b
+
+
+class TestSourcesFormats:
+    def test_csv_json_round_trip(self, spark, tmp_path, docs):
+        from pywrangler_spark.sources import read_csv, read_json, write_table
+
+        subset = docs.select("doc_id", "lang", "n_chars").limit(50)
+        base = str(tmp_path)
+        write_table(subset, f"{base}/docs_csv", format="csv")
+        write_table(subset, f"{base}/docs_json", format="json")
+        schema = "doc_id bigint, lang string, n_chars bigint"
+        from_csv = read_csv(spark, f"{base}/docs_csv", schema=schema)
+        from_json = read_json(spark, f"{base}/docs_json", schema=schema)
+        expected = sorted(map(tuple, subset.collect()))
+        assert sorted(map(tuple, from_csv.collect())) == expected
+        assert sorted(map(tuple, from_json.collect())) == expected
+
+    def test_partitioned_write_prunes(self, spark, tmp_path, docs):
+        from pywrangler_spark.sources import write_table
+        from pywrangler_spark.plans import explain_string
+
+        base = f"{tmp_path}/by_lang"
+        write_table(
+            docs.select("doc_id", "lang"), base, partition_by=["lang"]
+        )
+        scan = spark.read.parquet(base).filter(F.col("lang") == "en")
+        assert scan.count() > 0
+        plan = explain_string(scan)
+        # partition pruning: only the lang=en directory is read
+        assert "PartitionFilters" in plan and "lang" in plan
+
+
+class TestApproxDistinct:
+    def test_hll_within_error_bound(self, spark):
+        from pywrangler_spark.queries import QUERIES
+
+        rows = QUERIES["approx_distinct_parts"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        assert rows
+        for r in rows:
+            rel_err = abs(r.approx_parts - r.exact_parts) / r.exact_parts
+            assert rel_err < 0.05, f"{r.l_returnflag}: {rel_err}"

@@ -1,0 +1,102 @@
+"""Cross-engine equivalence: the pandas wrangler and the Spark wrangler
+must agree on identical inputs — the reference's dual-engine oracle
+pattern."""
+
+import random
+
+import pandas as pd
+import pytest
+from pyspark.sql import Row
+
+from pywrangler_spark import IntervalIdentifier
+from pywrangler_spark.pandas_engine import PandasIntervalIdentifier
+
+START, END = 1, 2
+
+
+def _streams(seed, n_groups=60, max_len=20):
+    rng = random.Random(seed)
+    return {
+        g: [rng.choice([0, 0, 1, 1, 2, 2, 3]) for _ in range(rng.randint(1, max_len))]
+        for g in range(n_groups)
+    }
+
+
+@pytest.mark.parametrize("sf,ef", [(True, True), (True, False), (False, True), (False, False)])
+@pytest.mark.parametrize("result_type", ["enumerated", "valid"])
+def test_engines_agree(spark, sf, ef, result_type):
+    streams = _streams(seed=hash((sf, ef, result_type)) % 1000)
+    pdf = pd.DataFrame(
+        [
+            {"groupby": g, "order": i, "marker": m}
+            for g, ms in streams.items()
+            for i, m in enumerate(ms)
+        ]
+    )
+    params = dict(
+        marker_column="marker",
+        marker_start=START,
+        marker_end=END,
+        marker_start_use_first=sf,
+        marker_end_use_first=ef,
+        orderby_columns="order",
+        groupby_columns="groupby",
+        result_type=result_type,
+    )
+    pandas_out = PandasIntervalIdentifier(**params).fit_transform(pdf)
+    sdf = spark.createDataFrame(pdf)
+    spark_out = IntervalIdentifier(**params).fit_transform(sdf)
+    got_spark = {
+        (r.groupby, r.order): r.iids for r in spark_out.collect()
+    }
+    got_pandas = {
+        (r.groupby, r.order): r.iids
+        for r in pandas_out.itertuples(index=False)
+    }
+    if result_type == "enumerated":
+        assert got_pandas == got_spark
+    else:  # valid: zero-mask must agree
+        assert {k: v == 0 for k, v in got_pandas.items()} == {
+            k: v == 0 for k, v in got_spark.items()
+        }
+
+
+def test_pandas_implicit_order_and_index_preserved():
+    pdf = pd.DataFrame(
+        {"marker": [0, 1, 0, 2, 0]}, index=[10, 20, 30, 40, 50]
+    )
+    out = PandasIntervalIdentifier(
+        marker_column="marker", marker_start=START, marker_end=END
+    ).fit_transform(pdf)
+    assert list(out.index) == [10, 20, 30, 40, 50]
+    assert list(out["iids"]) == [0, 1, 1, 1, 0]
+
+
+def test_pandas_unsorted_input_with_orderby():
+    pdf = pd.DataFrame(
+        {
+            "order": [3, 1, 5, 2, 4],
+            "marker": [0, 0, 0, 1, 2],
+        }
+    )
+    out = PandasIntervalIdentifier(
+        marker_column="marker",
+        marker_start=START,
+        marker_end=END,
+        orderby_columns="order",
+    ).fit_transform(pdf)
+    # logical order: markers [0,1,0,2,0] → iids [0,1,1,1,0]; output keeps
+    # the physical row order of the input
+    assert list(out["iids"]) == [1, 0, 0, 1, 1]
+
+
+def test_pandas_validation():
+    pdf = pd.DataFrame({"marker": [1]})
+    with pytest.raises(ValueError, match="empty"):
+        PandasIntervalIdentifier(
+            marker_column="marker", marker_start=1
+        ).fit_transform(pdf.iloc[:0])
+    with pytest.raises(ValueError, match="do not exist"):
+        PandasIntervalIdentifier(
+            marker_column="nope", marker_start=1
+        ).fit_transform(pdf)
