@@ -1,5 +1,8 @@
 """Relational / window operators."""
 
+from pywrangler_spark.operators.interval_global import (
+    identify_intervals_global,
+)
 from pywrangler_spark.operators.interval_identifier import (
     IntervalIdentifier,
     identify_intervals,
@@ -12,6 +15,7 @@ from pywrangler_spark.operators.sessionize import (
 __all__ = [
     "IntervalIdentifier",
     "identify_intervals",
+    "identify_intervals_global",
     "sessionize_gap",
     "session_stats",
 ]

@@ -1,0 +1,365 @@
+"""Interval identification over ONE global order — without the
+single-partition window.
+
+``IntervalIdentifier`` with no ``groupby_columns`` runs its window on a
+single partition: correct, but one task does all the work (SURVEY §7
+hard part (c) — at 100 TB that is not an option). This operator
+produces the same ids with bounded parallelism:
+
+1. **Range partition + local sort** on the order columns (one shuffle —
+   the same cost the grouped operator pays), cache.
+2. **Pass A** (per-partition aggregate): each partition's first/last
+   denoised marker. Driver prefix/suffix-scans the N-row summary →
+   every partition learns the marker adjacent to each of its edges, so
+   run-collapse (the ``*_use_first`` dedup) is decided locally even for
+   runs that span partitions.
+3. **Pass B** (local windows keyed by partition id): kept markers +
+   local fills; per-partition kept summary (first/last kept marker,
+   resolved valid-open count, trailing-open flag, kept-start/end sums).
+   Driver resolves trailing opens against the next partition's first
+   kept marker and prefix-sums the id offsets.
+4. **Pass C** (local windows again, over the cached Pass-B frame):
+   final labels = local result + broadcast per-partition offsets.
+
+All heavy work happens in partition-local windows; the driver only ever
+touches N-row summaries (N = shuffle partitions). Semantics are
+identical to the base operator — property-checked against it on random
+streams for every config.
+
+Determinism requires the order columns to be a total order (ties across
+a partition boundary would make range partitioning ambiguous) — same
+contract as the base operator, stated loudly here because there is no
+group key to hide behind.
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Optional, Sequence, Union
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from pywrangler_spark.operators.interval_identifier import (
+    _END,
+    _START,
+    NO_END_MARKER,
+    IntervalIdentifier,
+)
+from pywrangler_spark.util import ensure_iterable
+
+
+def identify_intervals_global(
+    df: DataFrame,
+    marker_column: str,
+    marker_start: Any,
+    marker_end: Any = NO_END_MARKER,
+    marker_start_use_first: bool = False,
+    marker_end_use_first: bool = True,
+    orderby_columns: Optional[Union[str, Sequence[str]]] = None,
+    ascending: Optional[Union[bool, Sequence[bool]]] = None,
+    result_type: str = "enumerated",
+    target_column_name: str = "iids",
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """Globally-ordered interval ids with range-partitioned parallelism.
+
+    Same semantics as ``IntervalIdentifier`` with ``groupby_columns=None``
+    (every parameter matches); only the physical strategy differs.
+    """
+    # delegate all parameter validation to the base wrangler
+    base = IntervalIdentifier(
+        marker_column=marker_column,
+        marker_start=marker_start,
+        marker_end=marker_end,
+        marker_start_use_first=marker_start_use_first,
+        marker_end_use_first=marker_end_use_first,
+        orderby_columns=orderby_columns,
+        ascending=ascending,
+        result_type=result_type,
+        target_column_name=target_column_name,
+    )
+    base.validate_columns(df, [marker_column, *base.orderby_columns])
+    if target_column_name in df.columns:
+        raise ValueError(f"target column {target_column_name!r} already exists")
+
+    orderby = list(base.orderby_columns)
+    asc = list(base.ascending)
+    spark = df.sparkSession
+    n_parts = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    sort_cols = [
+        F.col(c).asc() if a else F.col(c).desc()
+        for c, a in zip(orderby, asc)
+    ]
+
+    if base._identical_markers:
+        # cumsum of start flags: local cumsum + per-partition prefix offset
+        part = (
+            df.repartitionByRange(n_parts, *sort_cols)
+            .sortWithinPartitions(*sort_cols)
+            .withColumn("_pid", F.spark_partition_id())
+        )
+        marker = F.col(marker_column)
+        part = part.withColumn(
+            "_bs", marker.eqNullSafe(F.lit(marker_start)).cast("long")
+        )
+        sums = {
+            r._pid: r.s
+            for r in part.groupBy("_pid").agg(F.sum("_bs").alias("s")).collect()
+        }
+        offsets = _prefix_sums(sums, n_parts)
+        w_run = Window.partitionBy("_pid").orderBy(*sort_cols).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        off = _pid_map_column(offsets)
+        return part.select(
+            *df.columns,
+            (F.sum("_bs").over(w_run) + off).alias(target_column_name),
+        )
+
+    marker = F.col(marker_column)
+    is_start = marker.eqNullSafe(F.lit(marker_start))
+    is_end = marker.eqNullSafe(F.lit(marker_end))
+    denoised = (
+        F.when(is_start, F.lit(_START)).when(is_end, F.lit(_END)).cast("int")
+    )
+
+    part = (
+        df.repartitionByRange(n_parts, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn("_m", denoised)
+    )
+    part = part.persist()
+    try:
+        return _general_path(
+            part, df.columns, base, sort_cols, n_parts, target_column_name
+        )
+    finally:
+        # plan is built; actual unpersist is the caller's choice — keep
+        # cached so the returned DataFrame's two remaining passes reuse it
+        pass
+
+
+def _prefix_sums(per_pid: dict, n: int) -> List[int]:
+    out, acc = [], 0
+    for pid in range(n):
+        out.append(acc)
+        acc += int(per_pid.get(pid, 0) or 0)
+    return out
+
+
+def _pid_map_column(values: List) -> Column:
+    """values[pid] as a column expression (CASE chain over the small,
+    driver-known partition count)."""
+    expr = F.lit(values[0] if values else 0)
+    for pid, v in enumerate(values):
+        expr = F.when(F.col("_pid") == pid, F.lit(v)).otherwise(expr)
+    return expr
+
+
+def _general_path(
+    part: DataFrame,
+    original: List[str],
+    base: IntervalIdentifier,
+    sort_cols: List[Column],
+    n_parts: int,
+    out: str,
+) -> DataFrame:
+    w = Window.partitionBy("_pid").orderBy(*sort_cols)
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_before = w.rowsBetween(Window.unboundedPreceding, -1)
+    w_after = w.rowsBetween(1, Window.unboundedFollowing)
+
+    # ---- pass A: marker boundary summary -------------------------------
+    rn = F.row_number().over(w)
+    with_rn = part.withColumn("_rn", rn)
+    summary_a = (
+        with_rn.filter(F.col("_m").isNotNull())
+        .groupBy("_pid")
+        .agg(
+            F.min_by("_m", "_rn").alias("first_m"),
+            F.max_by("_m", "_rn").alias("last_m"),
+        )
+        .collect()
+    )
+    first_m = {r._pid: r.first_m for r in summary_a}
+    last_m = {r._pid: r.last_m for r in summary_a}
+    before_m, after_m = [None] * n_parts, [None] * n_parts
+    run = None
+    for pid in range(n_parts):
+        before_m[pid] = run
+        if pid in last_m:
+            run = last_m[pid]
+    run = None
+    for pid in range(n_parts - 1, -1, -1):
+        after_m[pid] = run
+        if pid in first_m:
+            run = first_m[pid]
+
+    # ---- pass B: kept markers + kept summary ---------------------------
+    m = F.col("_m")
+    prev_m = F.coalesce(
+        F.last(m, ignorenulls=True).over(w_before),
+        _pid_map_column(before_m).cast("int"),
+    )
+    next_m = F.coalesce(
+        F.first(m, ignorenulls=True).over(w_after),
+        _pid_map_column(after_m).cast("int"),
+    )
+    s2 = part.select("*", prev_m.alias("_pm"), next_m.alias("_nm"))
+
+    def _kept(code: int, use_first: bool) -> Column:
+        neighbour = F.col("_pm") if use_first else F.col("_nm")
+        return m.eqNullSafe(F.lit(code)) & ~neighbour.eqNullSafe(F.lit(code))
+
+    kept_start = _kept(_START, base.marker_start_use_first)
+    kept_end = _kept(_END, base.marker_end_use_first)
+    km = (
+        F.when(kept_start, F.lit(_START))
+        .when(kept_end, F.lit(_END))
+        .cast("int")
+    )
+    s3 = s2.select(
+        "*",
+        kept_start.cast("long").alias("_bs"),
+        kept_end.cast("long").alias("_be"),
+        km.alias("_km"),
+    ).persist()
+
+    kmc = F.col("_km")
+    with_krn = s3.withColumn("_krn", F.row_number().over(w))
+    # next kept marker within the partition (local)
+    local_next_k = F.first(kmc, ignorenulls=True).over(w_after)
+    summary_b = (
+        with_krn.withColumn("_nk", local_next_k)
+        .groupBy("_pid")
+        .agg(
+            F.min_by(
+                "_km", F.when(kmc.isNotNull(), F.col("_krn"))
+            ).alias("first_km"),
+            F.max_by(
+                "_km", F.when(kmc.isNotNull(), F.col("_krn"))
+            ).alias("last_km"),
+            # opens resolved inside the partition: kept S followed
+            # (locally) by a kept E
+            F.sum(
+                (
+                    kmc.eqNullSafe(F.lit(_START))
+                    & F.col("_nk").eqNullSafe(F.lit(_END))
+                ).cast("long")
+            ).alias("n_resolved"),
+            # trailing open: kept S with no kept marker after it locally
+            F.sum(
+                (
+                    kmc.eqNullSafe(F.lit(_START)) & F.col("_nk").isNull()
+                ).cast("long")
+            ).alias("trailing_open"),
+            F.sum("_bs").alias("bs_sum"),
+            F.sum("_be").alias("be_sum"),
+            F.max_by(
+                "_be", F.col("_krn")
+            ).alias("last_be"),
+        )
+        .collect()
+    )
+    info = {r._pid: r for r in summary_b}
+    first_km = {p: r.first_km for p, r in info.items() if r.first_km is not None}
+    last_km = {p: r.last_km for p, r in info.items() if r.last_km is not None}
+    before_k, after_k = [None] * n_parts, [None] * n_parts
+    run = None
+    for pid in range(n_parts):
+        before_k[pid] = run
+        if pid in last_km:
+            run = last_km[pid]
+    run = None
+    for pid in range(n_parts - 1, -1, -1):
+        after_k[pid] = run
+        if pid in first_km:
+            run = first_km[pid]
+
+    # resolve trailing opens + prefix offsets
+    n_valid = {}
+    raw_units = {}
+    for pid in range(n_parts):
+        r = info.get(pid)
+        if r is None:
+            n_valid[pid] = 0
+            raw_units[pid] = 0
+            continue
+        n = int(r.n_resolved or 0)
+        if int(r.trailing_open or 0) and after_k[pid] == _END:
+            n += 1
+        n_valid[pid] = n
+        raw_units[pid] = int(r.bs_sum or 0) + int(r.be_sum or 0)
+    enum_offsets = _prefix_sums(n_valid, n_parts)
+    # boundary be shifting: the first row of partition p receives
+    # lag(be) from the last row of the previous non-empty partition
+    # (a virtual end = 1 before the very first row, matching the base
+    # operator's lag default)
+    prev_last_be = [0] * n_parts
+    run_be = 1
+    for pid in range(n_parts):
+        prev_last_be[pid] = run_be
+        r = info.get(pid)  # groupBy only yields non-empty partitions
+        if r is not None:
+            run_be = int(r.last_be or 0)
+    # raw id = cumsum of (bs + be_lag). Partition q contributes
+    # bs_sum[q] + prev_last_be[q] + (be_sum[q] - last_be[q]); the
+    # prev/last be terms telescope across non-empty partitions to
+    # 1 - prev_last_be[p], giving:
+    units_prefix = _prefix_sums(raw_units, n_parts)
+    raw_offsets = [
+        units_prefix[pid] + 1 - prev_last_be[pid] for pid in range(n_parts)
+    ]
+
+    # ---- pass C: final labels ------------------------------------------
+    a_col = F.coalesce(
+        F.last(kmc, ignorenulls=True).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+        _pid_map_column(before_k).cast("int"),
+    )
+    prev_k = F.coalesce(
+        F.last(kmc, ignorenulls=True).over(w_before),
+        _pid_map_column(before_k).cast("int"),
+    )
+    next_k = F.coalesce(
+        F.first(kmc, ignorenulls=True).over(w_after),
+        _pid_map_column(after_k).cast("int"),
+    )
+    be_lag = F.coalesce(
+        F.lag("_be", 1).over(w), _pid_map_column(prev_last_be).cast("long")
+    )
+    s4 = s3.select(
+        "*",
+        a_col.alias("_a"),
+        prev_k.alias("_prev"),
+        next_k.alias("_next"),
+        be_lag.alias("_be_lag"),
+    )
+    valid = (
+        F.col("_a").eqNullSafe(F.lit(_START))
+        & F.col("_next").eqNullSafe(F.lit(_END))
+    ) | (
+        F.col("_a").eqNullSafe(F.lit(_END))
+        & F.col("_prev").eqNullSafe(F.lit(_START))
+    )
+    enum_off = _pid_map_column(enum_offsets)
+    raw_off = _pid_map_column(raw_offsets)
+
+    if base.result_type == "raw":
+        iid = F.sum(F.col("_bs") + F.col("_be_lag")).over(w_run) + raw_off
+        return s4.select(*original, iid.alias(out))
+    if base.result_type == "valid":
+        raw = F.sum(F.col("_bs") + F.col("_be_lag")).over(w_run) + raw_off
+        return s4.select(
+            *original, F.when(valid, raw).otherwise(F.lit(0)).alias(out)
+        )
+    opens_valid = (F.col("_bs") == 1) & valid
+    enum = F.sum(opens_valid.cast("long")).over(w_run) + enum_off
+    return s4.select(
+        *original, F.when(valid, enum).otherwise(F.lit(0)).alias(out)
+    )
+
