@@ -61,9 +61,16 @@ def dedup_exact_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---- n-gram Jaccard (exact near-dup verification path) --------------------
 
-_SHINGLES_SQL = f"""
+# the exact all-pairs verifier is quadratic by nature; its query scope is
+# capped at 2000 docs so the demonstration stays bounded at any sf (the
+# LSH query covers the full corpus — that is the scale path)
+_JACCARD_CAP = 2000
+
+def _shingles_sql(where: str = "") -> str:
+    return f"""
 WITH d AS (
     SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
+    {where}
 ), sh AS (
     SELECT DISTINCT doc_id, s
     FROM d, UNNEST(list_transform(
@@ -71,6 +78,11 @@ WITH d AS (
         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) t(s)
 )
 """
+
+
+# capped: the exact all-pairs verifier (quadratic); uncapped: minhash
+_SHINGLES_SQL = _shingles_sql(f"WHERE doc_id < {_JACCARD_CAP}")
+_SHINGLES_SQL_ALL = _shingles_sql()
 
 _JACCARD_ORACLE = (
     _SHINGLES_SQL
@@ -94,7 +106,9 @@ WHERE k * 1.0 / (ca.n + cb.n - k) >= 0.5
 
 @register("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = _docs(spark, sf_dir).transform(
+    pairs = _docs(spark, sf_dir).filter(
+        F.col("doc_id") < _JACCARD_CAP
+    ).transform(
         ngram_jaccard_pairs("doc_id", "text", shingle_k=3, threshold=0.5)
     )
     return pairs.withColumn("jaccard", F.round("jaccard", 6))
@@ -118,7 +132,7 @@ def _minhash_oracle() -> str:
         for j in range(_BANDS)
     )
     return (
-        _SHINGLES_SQL
+        _SHINGLES_SQL_ALL
         + f"""
 , shl AS (
     SELECT doc_id, list(s) AS shs FROM sh GROUP BY doc_id
