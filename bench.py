@@ -40,14 +40,16 @@ def main() -> None:
 
     read_parquet(spark, os.path.join(sf_dir, "lineitem.parquet")).count()
 
-    # best-of-N (like the reference's timeit-based profiler): a single
-    # shared-JVM pass is noisy — GC and shuffle-file accumulation from
-    # earlier queries can inflate later ones several-fold
+    # best-of-N, measured across full PASSES over the suite rather than
+    # back-to-back reps: host contention and GC arrive in multi-minute
+    # bursts, so consecutive reps of one query share the same bad window —
+    # whole-suite passes decorrelate the reps in time (like the
+    # reference's timeit-based profiler, but burst-robust)
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
-    timings = {}
-    for name in sorted(QUERIES):
-        best = None
-        for _ in range(reps):
+    timings: dict = {}
+    names = sorted(QUERIES)
+    for _ in range(reps):
+        for name in names:
             # construction inside the timer: some operators (e.g. the
             # range-partitioned global interval op) run summary jobs
             # while building their plan
@@ -55,8 +57,10 @@ def main() -> None:
             df = QUERIES[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             elapsed = time.perf_counter() - t0
-            best = elapsed if best is None else min(best, elapsed)
-        timings[name] = round(best, 3)
+            if name not in timings or elapsed < timings[name]:
+                timings[name] = elapsed
+        spark.sparkContext._jvm.System.gc()
+    timings = {k: round(v, 3) for k, v in timings.items()}
 
     sf_match = re.search(r"sf([0-9.]+)", sf_dir)
     print(

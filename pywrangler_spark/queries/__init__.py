@@ -34,6 +34,7 @@ from pywrangler_spark.queries import intervals as _intervals  # noqa: E402,F401
 from pywrangler_spark.queries import multimodal as _multimodal  # noqa: E402,F401
 from pywrangler_spark.queries import relational as _relational  # noqa: E402,F401
 from pywrangler_spark.queries import similarity as _similarity  # noqa: E402,F401
+from pywrangler_spark.queries import temporal as _temporal  # noqa: E402,F401
 from pywrangler_spark.queries import text as _text  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "register"]

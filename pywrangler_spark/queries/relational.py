@@ -599,3 +599,227 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
     )
+
+
+# ---- q13: customer order-count distribution -------------------------------
+# Adapted: the reference TPC-H filter on o_comment has no column here; the
+# stand-in exclusion is '1-URGENT' priority. Shape is the interesting part:
+# an outer join between two LARGE tables (no broadcast at scale — shuffle
+# on custkey, AQE picks SMJ) followed by a tiny re-aggregation.
+
+_Q13_ORACLE = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+    SELECT c_custkey, COUNT(o_orderkey) AS c_count
+    FROM customer
+    LEFT JOIN orders
+      ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+    GROUP BY c_custkey
+) counted
+GROUP BY c_count
+"""
+
+
+@register("q13_order_distribution", oracle=_Q13_ORACLE)
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    counted = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return counted.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# ---- q17: small-quantity-order revenue ------------------------------------
+# Correlated scalar subquery (per-part average) decorrelated Spark-first:
+# pre-aggregate lineitem per partkey (map-side partial agg), broadcast the
+# filtered part dim into BOTH the fact scan and the aggregate, and compare
+# 5 * qty * cnt < sum_qty entirely in DECIMAL — exact in both engines, so
+# the threshold can never flip on a last-ulp difference (a double AVG is
+# associativity-dependent).
+
+_Q17_ORACLE = """
+WITH brand_parts AS (
+    SELECT p_partkey FROM part WHERE p_brand = 'Brand#23'
+), per_part AS (
+    SELECT l_partkey,
+           SUM(CAST(l_quantity AS DECIMAL(27,6))) AS sum_qty,
+           COUNT(*) AS cnt
+    FROM lineitem JOIN brand_parts ON l_partkey = p_partkey
+    GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) / 7.0
+           AS avg_yearly,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN per_part ON lineitem.l_partkey = per_part.l_partkey
+WHERE CAST(5 AS DECIMAL(27,6)) * CAST(l_quantity AS DECIMAL(27,6)) * cnt
+      < sum_qty
+"""
+
+
+@register("q17_small_quantity_revenue", oracle=_Q17_ORACLE)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    brand_parts = _t(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#23"
+    ).select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    dec = lambda c: c.cast("decimal(27,6)")  # noqa: E731
+    per_part = (
+        li.join(F.broadcast(brand_parts), li.l_partkey == brand_parts.p_partkey)
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(dec(F.col("l_quantity"))).alias("sum_qty"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+    joined = li.alias("li").join(
+        F.broadcast(per_part).alias("pp"),
+        F.col("li.l_partkey") == F.col("pp.l_partkey"),
+    )
+    small = joined.filter(
+        dec(F.lit(5)) * dec(F.col("li.l_quantity")) * F.col("pp.cnt")
+        < F.col("pp.sum_qty")
+    )
+    return small.agg(
+        (dsum(F.col("li.l_extendedprice")) / 7.0).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+# ---- q8: national market share --------------------------------------------
+# Share of ECONOMY-part revenue delivered by NATION_5 suppliers to AMERICA
+# customers, per order year. Star shape: every dimension (part, supplier,
+# nation, region, customer-side reduction) broadcasts; the two fact tables
+# (lineitem, orders) join on orderkey. Exact-decimal sums make the share
+# division deterministic across engines.
+
+_Q8_ORACLE = f"""
+WITH amer_cust AS (
+    SELECT c_custkey
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'AMERICA'
+)
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+       {_dsum_sql("CASE WHEN n_name = 'NATION_5' THEN l_extendedprice * (1 - l_discount) END")}
+           AS nation_revenue,
+       {_dsum_sql(_REVENUE)} AS total_revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN amer_cust ON o_custkey = c_custkey
+WHERE o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+GROUP BY 1
+"""
+
+
+@register("q8_market_share", oracle=_Q8_ORACLE)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    amer_cust = (
+        _t(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == nation.n_nationkey,
+        )
+        .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
+        .select("c_custkey")
+    )
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_type") == "ECONOMY"
+    ).select("p_partkey")
+    supp_nation = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "n_name")
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between(
+            F.lit("1995-01-01").cast("timestamp"),
+            F.lit("1996-12-31").cast("timestamp"),
+        )
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp_nation), li.l_suppkey == F.col("s_suppkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(amer_cust, orders.o_custkey == amer_cust.c_custkey, "leftsemi")
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            dsum(F.when(F.col("n_name") == "NATION_5", rev)).alias(
+                "nation_revenue"
+            ),
+            dsum(rev).alias("total_revenue"),
+        )
+    )
+
+
+# ---- q22: dormant high-balance customers ----------------------------------
+# Adapted: no c_phone column, so the country-code grouping becomes the
+# nation key. Above-average positive balance (exact-decimal average,
+# broadcast as a 1-row scalar — no driver collect) and an anti-join
+# against recent orders for "dormant since 1999".
+
+_Q22_CUTOFF = "1999-01-01"
+
+_Q22_ORACLE = f"""
+WITH threshold AS (
+    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*)
+               AS avg_bal
+    FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c_nationkey,
+       COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(27,6))) AS DOUBLE) AS totacctbal
+FROM customer, threshold
+WHERE c_acctbal > avg_bal
+  AND NOT EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey
+        AND o_orderdate >= TIMESTAMP '{_Q22_CUTOFF}'
+  )
+GROUP BY c_nationkey
+"""
+
+
+@register("q22_dormant_balances", oracle=_Q22_ORACLE)
+def q22_dormant_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    threshold = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        (dsum(F.col("c_acctbal")) / F.count(F.lit(1))).alias("avg_bal")
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit(_Q22_CUTOFF).cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        cust.join(F.broadcast(threshold))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum(F.col("c_acctbal")).alias("totacctbal"),
+        )
+    )
