@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pywrangler_spark.operators.asof import asof_join, time_bucket_rollup
+from pywrangler_spark.operators.rangejoin import interval_join, range_join
 from pywrangler_spark.queries import register
 from pywrangler_spark.sources import read_parquet
 
@@ -92,3 +93,98 @@ def timebucket_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+# ---- range join: purchases against trailing click windows -----------------
+# Each click opens a 6-hour influence window; count, per purchase, the
+# windows (same user) containing the purchase instant. Bucketed
+# point-in-interval equi-join (operators.rangejoin) — an ordinary shuffled
+# hash join on (user_id, bucket), never a nested-loop plan.
+
+_RANGE_ORACLE = """
+SELECT p.event_id,
+       p.user_id,
+       CAST(p.ts AS TIMESTAMP) AS ts,
+       COUNT(c.event_id)       AS n_click_windows
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND p.ts BETWEEN c.ts AND c.ts + INTERVAL 6 HOUR
+GROUP BY 1, 2, 3
+"""
+
+
+@register("rangejoin_click_windows", oracle=_RANGE_ORACLE)
+def rangejoin_click_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("w_start"),
+            (F.col("ts") + F.expr("INTERVAL 6 HOURS")).alias("w_end"),
+        )
+    )
+    matched = purchases.transform(
+        range_join(
+            clicks,
+            point="ts",
+            lower="w_start",
+            upper="w_end",
+            on="user_id",
+            bucket_seconds=6 * 3600,
+            how="left",
+            right_columns=["click_id"],
+        )
+    )
+    return matched.groupBy("event_id", "user_id", "ts").agg(
+        F.count("click_id").alias("n_click_windows")
+    )
+
+
+# ---- interval-overlap join: purchase windows x error windows --------------
+# Per user, count (purchase-window, error-window) pairs that overlap —
+# "how often did an error shadow a purchase". Both sides explode into
+# 1-hour buckets; the responsible-bucket rule emits each pair exactly once.
+
+_OVERLAP_ORACLE = """
+SELECT p.user_id, COUNT(*) AS n_overlaps
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'error') e
+  ON p.user_id = e.user_id
+ AND p.ts <= e.ts + INTERVAL 1 HOUR
+ AND e.ts <= p.ts + INTERVAL 1 HOUR
+GROUP BY 1
+"""
+
+
+@register("intervaljoin_error_shadow", oracle=_OVERLAP_ORACLE)
+def intervaljoin_error_shadow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+
+    def windows(kind: str, prefix: str) -> DataFrame:
+        return ev.where(F.col("event_type") == kind).select(
+            "user_id",
+            F.col("ts").alias(f"{prefix}_start"),
+            (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias(f"{prefix}_end"),
+        )
+
+    purchases = windows("purchase", "p")
+    errors = windows("error", "e")
+    paired = purchases.transform(
+        interval_join(
+            errors,
+            left_lower="p_start",
+            left_upper="p_end",
+            right_lower="e_start",
+            right_upper="e_end",
+            on="user_id",
+            bucket_seconds=3600,
+            right_columns=[],
+        )
+    )
+    return paired.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_overlaps"))
