@@ -18,11 +18,13 @@ Scores are rounded to 6 dp before ranking so ranking is reproducible
 across engines (f64 noise cannot reorder), with vector id as the final
 tiebreak.
 
-Pairwise cost note: cosine(a,b) needs three dot products; normalizing each
-vector **once per row** before pairing (``_unit``) reduces per-pair work to
-a single dot product — a 3× cut on the quadratic stage. The oracle SQL
-keeps the naive 3-dot form; dot(a/|a|, b/|b|) and dot(a,b)/(|a||b|) agree
-within 1 ulp-ish, far inside the 6 dp rounding guard.
+Pairwise cost note: cosine(a,b) naively needs three dot products; every
+path here computes each row's L2 norm **once** (``_normed_vectors``) and
+scores a pair as ``dot(a,b) / (|a||b|)`` — one dot plus one multiply per
+pair. Element-wise pre-normalization would be equivalent arithmetic but
+is a Catalyst trap: CollapseProject inlines the staged norm into the
+per-element division lambda and the O(d) fold runs d times per row. The
+oracle SQL mirrors the norm-product form op-for-op.
 """
 
 from __future__ import annotations
@@ -30,6 +32,7 @@ from __future__ import annotations
 from typing import Callable, List, Optional, Sequence
 
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -38,23 +41,34 @@ from pywrangler_spark.functions.vectors import (
     dot,
     l2_norm,
     to_double_array,
-    unit_from_norm,
 )
 from pywrangler_spark.operators.dedup import _scale_out
 
 
-def _unit_vectors(df: DataFrame, id_column: str, vector_column: str,
-                  id_alias: str = "_id", vec_alias: str = "_u") -> DataFrame:
-    """(id, unit vector) with the norm materialized in its own stage so
-    the fold runs once per row, not once per element."""
+def _normed_vectors(df: DataFrame, id_column: str, vector_column: str,
+                    id_alias: str = "_id", vec_alias: str = "_bv",
+                    norm_alias: str = "_bn") -> DataFrame:
+    """(id, f64 vector, scalar L2 norm). Vectors are deliberately NOT
+    normalized element-wise: Catalyst's CollapseProject inlines a staged
+    ``x / norm`` into the per-element lambda, re-evaluating the O(d) norm
+    fold d times per row (verified via explain). Carrying the norm as a
+    scalar and dividing the final dot product by the norm *product* costs
+    one extra multiply per pair and removes every per-element division —
+    and sign-based ops (LSH buckets, IVF cell assignment) are scale
+    invariant, so they use the raw vector directly."""
     s1 = _scale_out(df).select(
         F.col(id_column).alias(id_alias),
-        to_double_array(F.col(vector_column)).alias("_v"),
+        to_double_array(F.col(vector_column)).alias(vec_alias),
     )
-    s2 = s1.select(id_alias, "_v", l2_norm(F.col("_v")).alias("_n"))
-    return s2.select(
-        id_alias, unit_from_norm(F.col("_v"), F.col("_n")).alias(vec_alias)
+    return s1.select(
+        id_alias, vec_alias, l2_norm(F.col(vec_alias)).alias(norm_alias)
     )
+
+
+def _cosine(qv: Column, bv: Column, qn: Column, bn: Column) -> Column:
+    """round(dot/(|q||b|), 6) — identical f64 op order to the oracle SQL
+    (index-ordered fold, norm product, nullif zero guard)."""
+    return F.round(dot(qv, bv) / F.nullif(qn * bn, F.lit(0.0)), 6)
 
 
 def hyperplanes(n_planes: int, dim: int, seed: int = 42) -> List[List[float]]:
@@ -87,10 +101,10 @@ def topk_cosine(
     """
 
     def _transform(df: DataFrame) -> DataFrame:
-        base = _unit_vectors(df, id_column, vector_column)
-        queries = _unit_vectors(
+        base = _normed_vectors(df, id_column, vector_column)
+        queries = _normed_vectors(
             df if query_filter is None else df.filter(query_filter),
-            id_column, vector_column, "_qid", "_qu",
+            id_column, vector_column, "_qid", "_qv", "_qn",
         )
         pairs = base.crossJoin(F.broadcast(queries)).filter(
             F.col("_id") != F.col("_qid")
@@ -98,7 +112,8 @@ def topk_cosine(
         scored = pairs.select(
             F.col("_qid").alias("query_id"),
             F.col("_id").alias("neighbor_id"),
-            F.round(dot(F.col("_qu"), F.col("_u")), 6).alias("cosine"),
+            _cosine(F.col("_qv"), F.col("_bv"),
+                    F.col("_qn"), F.col("_bn")).alias("cosine"),
         )
         w = Window.partitionBy("query_id").orderBy(
             F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -243,18 +258,140 @@ def cosine_neardup_pairs(
     """
 
     def _transform(df: DataFrame) -> DataFrame:
-        base = _unit_vectors(df, id_column, vector_column)
-        a = base.select(F.col("_id").alias("id_a"), F.col("_u").alias("_ua"))
-        b = base.select(F.col("_id").alias("id_b"), F.col("_u").alias("_ub"))
+        base = _normed_vectors(df, id_column, vector_column)
+        a = base.select(F.col("_id").alias("id_a"),
+                        F.col("_bv").alias("_va"), F.col("_bn").alias("_na"))
+        b = base.select(F.col("_id").alias("id_b"),
+                        F.col("_bv").alias("_vb"), F.col("_bn").alias("_nb"))
         return (
             a.crossJoin(b)
             .filter(F.col("id_a") < F.col("id_b"))
             .select(
                 "id_a",
                 "id_b",
-                F.round(dot(F.col("_ua"), F.col("_ub")), 6).alias("cosine"),
+                _cosine(F.col("_va"), F.col("_vb"),
+                        F.col("_na"), F.col("_nb")).alias("cosine"),
             )
             .filter(F.col("cosine") >= threshold)
+        )
+
+    return _transform
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the k-means-partitioned scale path
+# ---------------------------------------------------------------------------
+
+def train_ivf_centroids(
+    df: DataFrame,
+    vector_column: str,
+    n_centroids: int,
+    seed: int = 42,
+    sample_fraction: Optional[float] = None,
+    max_iter: int = 20,
+) -> np.ndarray:
+    """Train the IVF coarse quantizer: distributed MLlib k-means over the
+    (optionally sampled) corpus, returning **unit-normalized** centroids
+    as a small ``(n_centroids, dim)`` ndarray — model parameters, the one
+    thing that legitimately lives on the driver and broadcasts from there.
+
+    At 100 TB you fit on a sample (``sample_fraction``); k-means quality
+    needs only ~1000 points per centroid, not the full corpus.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    base = df.select(to_double_array(F.col(vector_column)).alias("_v"))
+    if sample_fraction is not None:
+        base = base.sample(fraction=sample_fraction, seed=seed)
+    feats = base.select(array_to_vector(F.col("_v")).alias("features"))
+    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(feats)
+    centers = np.stack([np.asarray(c, dtype="float64")
+                        for c in model.clusterCenters()])
+    norms = np.linalg.norm(centers, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    return centers / norms
+
+
+def _nearest_cells_udf(centers: np.ndarray, n_probe: int):
+    """Arrow-batched pandas UDF: raw vector -> the ids of its ``n_probe``
+    nearest centroids by cosine, one ``(batch x n_centroids)`` matmul per
+    batch. Centroids are unit vectors, so argmax of the dot product is
+    scale invariant — no input normalization needed. The centroid matrix
+    rides in the UDF closure (kilobytes), so every executor gets it once."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def nearest(vs: pd.Series) -> pd.Series:
+        mat = np.stack(vs.to_numpy())
+        sims = mat @ centers.T
+        # argsort is deterministic for ties with kind="stable"
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series(list(order.astype("int32")))
+
+    return nearest
+
+
+def topk_cosine_ivf(
+    id_column: str,
+    vector_column: str,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    query_filter: Optional[Column] = None,
+    sample_fraction: Optional[float] = None,
+) -> Callable[[DataFrame], DataFrame]:
+    """Approximate top-k cosine neighbours via an IVF index, the
+    FAISS-style scale path: k-means cells replace LSH buckets.
+
+    - corpus rows land in their single nearest cell (inverted list);
+    - each query probes its ``n_probe`` nearest cells;
+    - candidates = corpus rows in probed cells, scored exactly, ranked.
+
+    The candidate join is a plain equi-join on the cell id — shuffled
+    hash-partitioned, AQE-skew-splittable — and per-query cost drops from
+    |corpus| to ~``n_probe / n_centroids`` of it. Recall comes from
+    ``n_probe`` (the standard IVF dial); validated against the exact
+    brute-force tier in the test suite.
+
+    Output schema matches :func:`topk_cosine`.
+    """
+
+    def _transform(df: DataFrame) -> DataFrame:
+        centers = train_ivf_centroids(
+            df, vector_column, n_centroids, seed=seed,
+            sample_fraction=sample_fraction,
+        )
+        assign1 = _nearest_cells_udf(centers, 1)
+        probe = _nearest_cells_udf(centers, n_probe)
+
+        base = _normed_vectors(df, id_column, vector_column)
+        corpus = base.select(
+            "_id", "_bv", "_bn", assign1(F.col("_bv"))[0].alias("_cell")
+        )
+        queries = _normed_vectors(
+            df if query_filter is None else df.filter(query_filter),
+            id_column, vector_column, "_qid", "_qv", "_qn",
+        ).select(
+            "_qid", "_qv", "_qn",
+            F.explode(probe(F.col("_qv"))).alias("_cell"),
+        )
+        cand = queries.join(corpus, "_cell").filter(
+            F.col("_id") != F.col("_qid")
+        )
+        scored = cand.select(
+            F.col("_qid").alias("query_id"),
+            F.col("_id").alias("neighbor_id"),
+            _cosine(F.col("_qv"), F.col("_bv"),
+                    F.col("_qn"), F.col("_bn")).alias("cosine"),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id").asc()
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
         )
 
     return _transform

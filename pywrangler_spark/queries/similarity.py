@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pywrangler_spark.operators.similarity import (
+    topk_cosine_ivf,
     cosine_neardup_pairs,
     topk_cosine,
     topk_cosine_lsh,
@@ -20,13 +21,14 @@ from pywrangler_spark.operators.similarity import (
 from pywrangler_spark.queries import register
 from pywrangler_spark.sources import read_parquet
 
-# unit-vector form, mirroring the Spark plan (normalize once per row, one
-# dot per pair) so the f64 op sequence — and hence every bit — matches
-_UNIT_E = """
+# norm-product form, mirroring the Spark plan (norm computed once per
+# row, pair score = dot / (na*nb)) so the f64 op sequence — and hence
+# every bit — matches
+_NORM_E = """
     SELECT vec_id,
-           list_transform(embedding::DOUBLE[],
-               x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
-                                              embedding::DOUBLE[]))) AS u
+           embedding::DOUBLE[] AS v,
+           sqrt(list_dot_product(embedding::DOUBLE[],
+                                 embedding::DOUBLE[])) AS n
     FROM embeddings
 """
 
@@ -36,12 +38,13 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _TOPK_ORACLE = f"""
-WITH e AS ({_UNIT_E}
+WITH e AS ({_NORM_E}
 ), q AS (
-    SELECT vec_id AS qid, u AS qu FROM e WHERE vec_id % 40 = 0
+    SELECT vec_id AS qid, v AS qv, n AS qn FROM e WHERE vec_id % 40 = 0
 ), scored AS (
     SELECT qid AS query_id, e.vec_id AS neighbor_id,
-           round(list_dot_product(qu, u), 6) AS cosine
+           round(list_dot_product(qv, e.v) / nullif(qn * e.n, 0.0), 6)
+               AS cosine
     FROM q JOIN e ON e.vec_id != q.qid
 )
 SELECT query_id, neighbor_id, cosine, CAST(rn AS INT) AS rank
@@ -82,11 +85,29 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# IVF path: k-means cells + probe join (FAISS-style). Centroids are a
+# fitted model artifact, so like the LSH table this is recall-validated
+# against ann_topk_bruteforce in tests; the driver records rows-only.
+@register("ann_topk_ivf")
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _emb(spark, sf_dir).transform(
+        topk_cosine_ivf(
+            "vec_id",
+            "embedding",
+            k=10,
+            n_centroids=16,
+            n_probe=4,
+            query_filter=F.col("vec_id") % 40 == 0,
+        )
+    )
+
+
 _NEARDUP_ORACLE = f"""
-WITH e AS ({_UNIT_E}
+WITH e AS ({_NORM_E}
 ), p AS (
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round(list_dot_product(a.u, b.u), 6) AS cosine
+           round(list_dot_product(a.v, b.v) / nullif(a.n * b.n, 0.0), 6)
+               AS cosine
     FROM e a JOIN e b ON a.vec_id < b.vec_id
 )
 SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.3

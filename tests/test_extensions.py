@@ -21,6 +21,7 @@ from pywrangler_spark.operators.multimodal import (
     extract_blob_features,
 )
 from pywrangler_spark.operators.similarity import (
+    topk_cosine_ivf,
     cosine_neardup_pairs,
     topk_cosine,
     topk_cosine_lsh,
@@ -118,6 +119,33 @@ class TestSimilarity:
         # 8 planes + multiprobe on 64-dim random data: recall is moderate
         # by design; the contract is "substantially better than random"
         assert recall >= 0.3, f"LSH recall {recall}"
+
+    def test_ivf_recall_vs_bruteforce(self, spark, embeddings):
+        qf = F.col("vec_id") % 25 == 0
+        exact = topk_cosine("vec_id", "embedding", k=10, query_filter=qf)(
+            embeddings
+        )
+        approx = topk_cosine_ivf(
+            "vec_id", "embedding", k=10, n_centroids=16, n_probe=4,
+            query_filter=qf,
+        )(embeddings)
+        e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+        a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+        recall = len(e & a) / len(e)
+        # probing 4/16 cells: candidates are exact-scored, so recall only
+        # loses neighbours living outside the probed cells
+        assert recall >= 0.5, f"IVF recall {recall}"
+
+    def test_ivf_deterministic(self, spark, embeddings):
+        qf = F.col("vec_id") % 50 == 0
+        t = lambda: sorted(  # noqa: E731
+            (r.query_id, r.rank, r.neighbor_id)
+            for r in topk_cosine_ivf(
+                "vec_id", "embedding", k=5, n_centroids=8, n_probe=2,
+                query_filter=qf,
+            )(embeddings).collect()
+        )
+        assert t() == t()
 
     def test_topk_rank_contract(self, spark, embeddings):
         out = topk_cosine(
