@@ -163,14 +163,13 @@ def topk_cosine_lsh(
 
         base_flat = (
             _with_buckets(
-                df.select(
-                    F.col(id_column).alias("_id"),
-                    to_double_array(F.col(vector_column)).alias("_v"),
-                )
+                _normed_vectors(df, id_column, vector_column,
+                                "_id", "_v", "_n")
             )
             .select(
                 "_id",
                 "_v",
+                "_n",
                 F.explode(
                     F.array(
                         *[
@@ -183,13 +182,13 @@ def topk_cosine_lsh(
                     )
                 ).alias("_tb"),
             )
-            .select("_id", "_v", "_tb._t", "_tb._bucket")
+            .select("_id", "_v", "_n", "_tb._t", "_tb._bucket")
         )
 
         queries = _with_buckets(
-            (df if query_filter is None else df.filter(query_filter)).select(
-                F.col(id_column).alias("_id"),
-                to_double_array(F.col(vector_column)).alias("_v"),
+            _normed_vectors(
+                df if query_filter is None else df.filter(query_filter),
+                id_column, vector_column, "_id", "_v", "_n",
             )
         )
         probe_structs = []
@@ -207,32 +206,29 @@ def topk_cosine_lsh(
         q = queries.select(
             F.col("_id").alias("_qid"),
             F.col("_v").alias("_qv"),
+            F.col("_n").alias("_qn"),
             F.explode(F.array(*probe_structs)).alias("_tb"),
-        ).select("_qid", "_qv", "_tb._t", "_tb._bucket")
+        ).select("_qid", "_qv", "_qn", "_tb._t", "_tb._bucket")
 
         cands = base_flat.join(F.broadcast(q), ["_t", "_bucket"]).filter(
             F.col("_id") != F.col("_qid")
         )
-        # score on unit vectors: one dot per candidate (norms staged once)
+        # norms were computed once per ROW upstream; after the
+        # multi-table dedup each surviving pair costs one dot + one
+        # multiply (recomputing norms here would fold per PAIR)
         scored_raw = cands.select(
             F.col("_qid").alias("query_id"),
             F.col("_id").alias("neighbor_id"),
             F.col("_qv"),
+            F.col("_qn"),
             F.col("_v"),
+            F.col("_n"),
         ).dropDuplicates(["query_id", "neighbor_id"])
-        s1 = scored_raw.select(
-            "query_id", "neighbor_id", "_qv", "_v",
-            l2_norm(F.col("_qv")).alias("_qn"),
-            l2_norm(F.col("_v")).alias("_n"),
-        )
-        scored = s1.select(
+        scored = scored_raw.select(
             "query_id",
             "neighbor_id",
-            F.round(
-                dot(F.col("_qv"), F.col("_v"))
-                / F.nullif(F.col("_qn") * F.col("_n"), F.lit(0.0)),
-                6,
-            ).alias("cosine"),
+            _cosine(F.col("_qv"), F.col("_v"),
+                    F.col("_qn"), F.col("_n")).alias("cosine"),
         )
         w = Window.partitionBy("query_id").orderBy(
             F.col("cosine").desc(), F.col("neighbor_id").asc()
