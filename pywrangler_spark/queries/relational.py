@@ -823,3 +823,36 @@ def q22_dormant_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("c_acctbal")).alias("totacctbal"),
         )
     )
+
+
+# ---- salted join equivalence ----------------------------------------------
+# Revenue per order priority via a SALTED lineitem->orders join (the
+# hot-key mitigation path). The oracle is the plain join: salting must be
+# invisible in the result. Salt fan-out 8; orders replicated 8x, lineitem
+# rows spread uniformly across composite keys.
+
+_SALTED_ORACLE = f"""
+SELECT o_orderpriority,
+       COUNT(*) AS n_items,
+       {_dsum_sql(_REVENUE)} AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+"""
+
+
+@register("salted_priority_revenue", oracle=_SALTED_ORACLE)
+def salted_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pywrangler_spark.operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k"), "l_extendedprice", "l_discount"
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), "o_orderpriority"
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.transform(salted_join(orders, "k", n_salts=8, seed=42))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_items"), dsum(rev).alias("revenue"))
+    )

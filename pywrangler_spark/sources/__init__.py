@@ -1,5 +1,6 @@
 """Sources & sinks."""
 
+from pywrangler_spark.sources.bucketed import read_table, write_bucketed_table
 from pywrangler_spark.sources.formats import read_csv, read_json, write_table
 from pywrangler_spark.sources.parquet import (
     TABLE_NAMES,
@@ -16,4 +17,6 @@ __all__ = [
     "read_csv",
     "read_json",
     "write_table",
+    "write_bucketed_table",
+    "read_table",
 ]

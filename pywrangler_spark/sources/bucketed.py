@@ -1,0 +1,62 @@
+"""Bucketed tables — pre-shuffled storage for repeated co-located joins.
+
+A fact table joined on the same key every day pays the same shuffle every
+day. Bucketing pays it ONCE at write time: ``bucketBy(n, key)`` hash-
+partitions rows into ``n`` buckets per file-write task and records the
+layout in the catalog; a later join of two tables bucketed by the same
+key into the same bucket count satisfies both sides' hash-partitioning
+requirement from storage — the join plan has **zero Exchange operators**
+(verified in the test suite). ``sortBy`` additionally pre-sorts inside
+buckets, removing the Sort under a sort-merge join.
+
+This is the Spark analog of the co-located/partitioned-table layouts
+warehouse engines use for their fact-to-fact joins, and the right
+answer whenever the same large-large join recurs at 100 TB:
+
+- one-off join → let the shuffle happen (AQE sizes it);
+- recurring join on a stable key → bucket both tables on that key.
+
+Notes: bucketed tables go through the session catalog (``saveAsTable`` —
+bucket metadata lives there, plain ``.parquet(path)`` loses it), readers
+get one task per bucket, and both tables must use the SAME bucket count
+(Spark does not coalesce mismatched bucket layouts).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Union
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pywrangler_spark.util import ensure_iterable
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_columns: Union[str, Sequence[str]],
+    num_buckets: int,
+    sort_columns: Optional[Union[str, Sequence[str]]] = None,
+    mode: str = "overwrite",
+    format: str = "parquet",
+) -> None:
+    """Persist ``df`` as a catalog table bucketed (and optionally
+    bucket-sorted) on ``bucket_columns``."""
+    buckets = list(ensure_iterable(bucket_columns))
+    if not buckets:
+        raise ValueError("write_bucketed_table requires bucket columns")
+    if num_buckets < 1:
+        raise ValueError(f"num_buckets must be >= 1, got {num_buckets}")
+    writer = df.write.format(format).mode(mode).bucketBy(
+        num_buckets, buckets[0], *buckets[1:]
+    )
+    if sort_columns is not None:
+        sorts = list(ensure_iterable(sort_columns))
+        writer = writer.sortBy(sorts[0], *sorts[1:])
+    writer.saveAsTable(table)
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    """Catalog read — bucket metadata (and therefore the shuffle-free
+    join path) only survives through the catalog, not raw file reads."""
+    return spark.table(table)

@@ -1,0 +1,139 @@
+"""Scale-layout operators: salted joins (skew) and bucketed tables
+(co-located shuffle-free joins). The assertions here are about PLANS and
+EQUIVALENCE — salting must not change results, bucketing must remove the
+Exchange."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pywrangler_spark.operators.skew import hot_keys, salted_join
+from pywrangler_spark.plans.inspect import count_exchanges, explain_string
+from pywrangler_spark.sources import read_table, write_bucketed_table
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # 900 rows on one hot key, a sprinkle elsewhere
+    left = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": ["hot"] * 900 + ["a", "b", "c", "miss"] * 5,
+                "v": range(920),
+            }
+        )
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"k": ["hot", "a", "b", "c", "d"], "w": range(5)})
+    )
+    return left, right
+
+
+class TestSaltedJoin:
+    def test_inner_equivalent(self, skewed):
+        left, right = skewed
+        plain = left.join(right, "k").groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"),
+            F.sum("w").alias("sw"),
+        )
+        salted = left.transform(
+            salted_join(right, "k", n_salts=8, seed=7)
+        ).groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"),
+            F.sum("w").alias("sw"),
+        )
+        assert sorted(map(tuple, plain.collect())) == sorted(
+            map(tuple, salted.collect())
+        )
+
+    def test_left_keeps_unmatched(self, skewed):
+        left, right = skewed
+        out = left.transform(
+            salted_join(right, "k", n_salts=4, how="left", seed=1)
+        )
+        assert out.count() == left.count()
+        assert out.filter(F.col("w").isNull()).count() == 5  # the "miss" rows
+
+    def test_salt_column_dropped(self, skewed):
+        left, right = skewed
+        out = left.transform(salted_join(right, "k", n_salts=4))
+        assert set(out.columns) == {"k", "v", "w"}
+
+    def test_spreads_hot_key(self, skewed):
+        left, right = skewed
+        # salted: the join key set becomes (k, salt); the hot key's rows
+        # split across n_salts distinct composite keys
+        l = left.withColumn("__salt", F.floor(F.rand(3) * 8).cast("int"))
+        n_composite = (
+            l.filter(F.col("k") == "hot").select("k", "__salt").distinct().count()
+        )
+        assert n_composite > 1
+
+    def test_validation(self, skewed):
+        left, right = skewed
+        with pytest.raises(ValueError, match="n_salts"):
+            salted_join(right, "k", n_salts=1)(left)
+        with pytest.raises(ValueError, match="how"):
+            salted_join(right, "k", how="outer")(left)
+        with pytest.raises(ValueError, match="join keys"):
+            salted_join(right, [])(left)
+
+
+class TestHotKeys:
+    def test_finds_hot_key(self, spark, skewed):
+        left, _ = skewed
+        keys = hot_keys(left, "k", top=3, min_share=0.1)
+        assert keys[0] == "hot"
+        assert all(k != "a" or False for k in keys[1:2])  # share cut applies
+
+    def test_empty_frame(self, spark):
+        df = spark.createDataFrame([], "k string")
+        assert hot_keys(df, "k") == []
+
+    def test_multi_key_tuples(self, spark):
+        df = spark.createDataFrame(
+            pd.DataFrame({"a": ["x"] * 9 + ["y"], "b": [1] * 9 + [2]})
+        )
+        keys = hot_keys(df, ["a", "b"], top=1, min_share=0.5)
+        assert keys == [("x", 1)]
+
+
+class TestBucketedTables:
+    def test_bucketed_join_no_exchange(self, spark):
+        n = 500
+        facts = spark.range(n).select(
+            (F.col("id") % 50).alias("k"), F.col("id").alias("v")
+        )
+        dims = spark.range(50).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("w")
+        )
+        try:
+            write_bucketed_table(facts, "t_facts", "k", 4, sort_columns="k")
+            write_bucketed_table(dims, "t_dims", "k", 4, sort_columns="k")
+            f, d = read_table(spark, "t_facts"), read_table(spark, "t_dims")
+            # force the sort-merge path (broadcast would hide the layout win)
+            joined = f.hint("merge").join(d, "k")
+            assert joined.count() == n
+            assert count_exchanges(joined) == 0, explain_string(joined)
+        finally:
+            spark.sql("DROP TABLE IF EXISTS t_facts")
+            spark.sql("DROP TABLE IF EXISTS t_dims")
+
+    def test_unbucketed_join_has_exchange(self, spark):
+        facts = spark.range(500).select(
+            (F.col("id") % 50).alias("k"), F.col("id").alias("v")
+        )
+        dims = spark.range(50).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("w")
+        )
+        joined = facts.hint("merge").join(dims, "k")
+        assert count_exchanges(joined) >= 1
+
+    def test_validation(self, spark):
+        df = spark.range(5)
+        with pytest.raises(ValueError, match="bucket columns"):
+            write_bucketed_table(df, "t_x", [], 4)
+        with pytest.raises(ValueError, match="num_buckets"):
+            write_bucketed_table(df, "t_x", "id", 0)
