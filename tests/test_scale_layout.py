@@ -137,3 +137,19 @@ class TestBucketedTables:
             write_bucketed_table(df, "t_x", [], 4)
         with pytest.raises(ValueError, match="num_buckets"):
             write_bucketed_table(df, "t_x", "id", 0)
+
+
+class TestTopKPlan:
+    def test_order_limit_is_take_ordered(self, spark):
+        # global ORDER BY + LIMIT must plan as TakeOrderedAndProject
+        # (per-partition top-k + k-row driver merge), not a rangepartition
+        # global sort
+        df = (
+            spark.range(10_000)
+            .select(F.col("id"), (F.col("id") % 97).alias("p"))
+            .orderBy(F.col("p").desc(), F.col("id"))
+            .limit(100)
+        )
+        plan = explain_string(df)
+        assert "TakeOrderedAndProject" in plan
+        assert "rangepartitioning" not in plan.lower()
