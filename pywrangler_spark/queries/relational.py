@@ -1000,3 +1000,63 @@ def topk_expensive_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
         .limit(100)
     )
+
+
+# ---- exact quantiles per group --------------------------------------------
+# Spark's exact `percentile` (linear interpolation between order stats)
+# matches DuckDB's quantile_cont definition; rounding to 4 dp guards the
+# one interpolation multiply. NOTE the scale story: exact percentile
+# requires a full sort of each group's values — at 100 TB you use
+# approx_percentile (t-digest, mergeable sketch, one pass) and accept
+# rank error; this query is the exact tier, `approx_distinct_parts` shows
+# the sketch tier for the analogous COUNT(DISTINCT).
+
+_QUANTILES_ORACLE = """
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,
+       ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+       ROUND(quantile_cont(l_quantity, 0.5), 4)      AS p50_qty
+FROM lineitem
+GROUP BY 1
+"""
+
+
+@register("quantiles_prices", oracle=_QUANTILES_ORACLE)
+def quantiles_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias(
+            "p50_price"
+        ),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias(
+            "p90_price"
+        ),
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("p50_qty"),
+    )
+
+
+# ---- grouping sets --------------------------------------------------------
+# The general form behind rollup/cube (both already covered): revenue at
+# (status, priority), (status), and () granularities in ONE pass — one
+# shuffle, each input row expanded once per grouping set it belongs to.
+
+_GSETS_ORACLE = f"""
+SELECT o_orderstatus, o_orderpriority,
+       {_dsum_sql('o_totalprice')} AS revenue,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+"""
+
+
+@register("groupingsets_order_revenue", oracle=_GSETS_ORACLE)
+def groupingsets_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupingSets(
+        [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        dsum(F.col("o_totalprice")).alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
