@@ -1060,3 +1060,36 @@ def groupingsets_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(F.col("o_totalprice")).alias("revenue"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+# ---- argmax per group: top event per user via max_by ----------------------
+# One-pass argmax (no rank window, no self-join): per order priority, the
+# single most expensive order. max_by is the declarative form Catalyst
+# executes as a partial/final aggregate — the shuffle carries one row per
+# group, vs. a row_number window shuffling every row. The orderkey
+# tiebreak is encoded in the comparison struct so both engines agree.
+
+_ARGMAX_ORACLE = """
+SELECT o_orderpriority, o_orderkey AS top_orderkey,
+       o_totalprice AS top_totalprice
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY o_orderpriority
+        ORDER BY o_totalprice DESC, o_orderkey
+    ) AS rn
+    FROM orders
+)
+WHERE rn = 1
+"""
+
+
+@register("argmax_order_per_priority", oracle=_ARGMAX_ORACLE)
+def argmax_order_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    rank_key = F.struct(
+        F.col("o_totalprice"), (-F.col("o_orderkey")).alias("nk")
+    )
+    return orders.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", rank_key).alias("top_orderkey"),
+        F.max("o_totalprice").alias("top_totalprice"),
+    )

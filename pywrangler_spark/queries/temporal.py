@@ -188,3 +188,48 @@ def intervaljoin_error_shadow(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return paired.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_overlaps"))
+
+
+# ---- time-range window frame: trailing 7-day value per user ---------------
+# RANGE frame over event time (not rows): each event sees the sum/count of
+# the same user's events in the trailing 7 days. Spark range frames need a
+# numeric order key, so the frame runs over unix micros — exact integer
+# bounds, identical to DuckDB's INTERVAL range frame on the timestamp.
+# One Exchange on user_id; the frame scan is a single sorted pass per
+# partition (no self-join).
+
+_ROLLING_ORACLE = """
+SELECT event_id,
+       user_id,
+       CAST(ts AS TIMESTAMP) AS ts,
+       CAST(SUM(CAST("value" AS DECIMAL(27,4))) OVER w AS DOUBLE)
+           AS value_7d,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_7d
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("rolling_7d_user_value", oracle=_ROLLING_ORACLE)
+def rolling_7d_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "ts", "value")
+    micros = F.unix_micros(F.col("ts"))
+    seven_days = 7 * 24 * 3600 * 1_000_000
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(micros)
+        .rangeBetween(-seven_days, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(F.col("value").cast("decimal(27,4)"))
+        .over(w)
+        .cast("double")
+        .alias("value_7d"),
+        F.count(F.lit(1)).over(w).alias("n_7d"),
+    )
