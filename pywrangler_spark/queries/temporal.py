@@ -233,3 +233,30 @@ def rolling_7d_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("value_7d"),
         F.count(F.lit(1)).over(w).alias("n_7d"),
     )
+
+
+# ---- per-user value trend (regr_slope / regr_intercept) -------------------
+# OLS of value ~ time per user, entirely in JVM aggregates: the shuffle
+# carries five moment sums per user, never the rows. DuckDB's regr_*
+# implement the same definition; rounding absorbs moment-association
+# noise. The applyInPandas twin (operators.trend.group_trend_pandas) is
+# equality-tested against this in the suite.
+
+_TREND_ORACLE = """
+SELECT user_id,
+       ROUND(regr_slope("value", epoch(CAST(ts AS TIMESTAMP))), 8) AS slope,
+       ROUND(regr_intercept("value", epoch(CAST(ts AS TIMESTAMP))), 4)
+           AS intercept,
+       COUNT(*) AS n
+FROM events
+GROUP BY 1
+"""
+
+
+@register("user_value_trend", oracle=_TREND_ORACLE)
+def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pywrangler_spark.operators.trend import group_trend
+
+    return _events(spark, sf_dir).transform(
+        group_trend("ts", "value", "user_id", round_digits=(8, 4))
+    )
