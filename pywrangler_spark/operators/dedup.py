@@ -324,22 +324,22 @@ def simhash_table(
             F.col(id_column).alias("id"),
             F.explode(words(F.col(text_column))).alias("_tok"),
         ).withColumn("_h", hash56(F.col("_tok")))
+        # single-expr strings, not composed Columns: each Column node is
+        # a py4j round-trip and 63 bits x ~6 nodes costs ~1.5 s of DRIVER
+        # time per plan build (measured); expr strings parse JVM-side
         votes = toks.groupBy("id").agg(
             *[
-                F.sum(
-                    F.when(
-                        F.col("_h").bitwiseAND(F.lit(1 << b)) != 0, 1
-                    ).otherwise(-1)
-                ).alias(f"_v{b}")
+                F.expr(f"sum(if((_h & {1 << b}L) != 0, 1, -1))").alias(
+                    f"_v{b}"
+                )
                 for b in range(bits)
             ]
         )
-        assembled = None
-        for b in range(bits):
-            term = F.when(F.col(f"_v{b}") > 0, F.lit(1 << b)).otherwise(
-                F.lit(0)
-            )
-            assembled = term if assembled is None else assembled + term
-        return votes.select("id", assembled.cast("long").alias("simhash"))
+        assembled = " + ".join(
+            f"if(_v{b} > 0, {1 << b}L, 0L)" for b in range(bits)
+        )
+        return votes.select(
+            "id", F.expr(f"cast(({assembled}) as long)").alias("simhash")
+        )
 
     return _transform

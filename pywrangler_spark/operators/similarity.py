@@ -78,14 +78,23 @@ def hyperplanes(n_planes: int, dim: int, seed: int = 42) -> List[List[float]]:
     return rng.standard_normal((n_planes, dim)).round(6).tolist()
 
 
-def _lsh_bucket(vec: Column, planes: Sequence[Sequence[float]]) -> Column:
-    """Sign-of-projection bit bucket for a double-array column."""
-    bucket = None
+def _lsh_bucket(vec_column: str, planes: Sequence[Sequence[float]]) -> Column:
+    """Sign-of-projection bit bucket for a double-array column.
+
+    Built as ONE ``F.expr`` SQL string rather than composed Column
+    objects: n_planes x dim literals each cost a py4j round-trip as
+    Columns (~seconds of driver time per plan build, measured), while a
+    single expression string parses JVM-side in milliseconds. Same
+    expression tree either way — identical runtime semantics."""
+    terms = []
     for i, plane in enumerate(planes):
-        proj = dot(vec, F.array(*[F.lit(float(c)) for c in plane]))
-        bit = F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else bucket + bit
-    return bucket.cast("int")
+        arr = "array(" + ",".join(f"{float(c)!r}D" for c in plane) + ")"
+        proj = (
+            f"aggregate(zip_with({vec_column}, {arr}, (x, y) -> x * y), "
+            "0D, (a, b) -> a + b)"
+        )
+        terms.append(f"if({proj} > 0D, {1 << i}, 0)")
+    return F.expr("cast((" + " + ".join(terms) + ") as int)")
 
 
 def topk_cosine(
@@ -156,20 +165,25 @@ def topk_cosine_lsh(
 
         def _with_buckets(frame: DataFrame) -> DataFrame:
             cols = [
-                _lsh_bucket(F.col("_v"), planes).alias(f"_b{t}")
+                _lsh_bucket("_v", planes).alias(f"_b{t}")
                 for t, planes in enumerate(tables)
             ]
             return frame.select("*", *cols)
 
+        base = _normed_vectors(df, id_column, vector_column,
+                               "_id", "_v", "_n")
+        qbase = _normed_vectors(
+            df if query_filter is None else df.filter(query_filter),
+            id_column, vector_column, "_id", "_v", "_n",
+        )
+
+        # candidate generation carries ONLY (id, table, bucket) — vectors
+        # never ride the candidate stream or its dedup exchange (at scale
+        # that exchange is the big one: |candidates| x n_tables rows)
         base_flat = (
-            _with_buckets(
-                _normed_vectors(df, id_column, vector_column,
-                                "_id", "_v", "_n")
-            )
+            _with_buckets(base)
             .select(
                 "_id",
-                "_v",
-                "_n",
                 F.explode(
                     F.array(
                         *[
@@ -182,15 +196,9 @@ def topk_cosine_lsh(
                     )
                 ).alias("_tb"),
             )
-            .select("_id", "_v", "_n", "_tb._t", "_tb._bucket")
+            .select("_id", "_tb._t", "_tb._bucket")
         )
 
-        queries = _with_buckets(
-            _normed_vectors(
-                df if query_filter is None else df.filter(query_filter),
-                id_column, vector_column, "_id", "_v", "_n",
-            )
-        )
         probe_structs = []
         for t in range(n_tables):
             bucket = F.col(f"_b{t}")
@@ -203,32 +211,39 @@ def topk_cosine_lsh(
                 F.struct(F.lit(t).alias("_t"), p.alias("_bucket"))
                 for p in probes
             ]
-        q = queries.select(
+        q = _with_buckets(qbase).select(
             F.col("_id").alias("_qid"),
-            F.col("_v").alias("_qv"),
-            F.col("_n").alias("_qn"),
             F.explode(F.array(*probe_structs)).alias("_tb"),
-        ).select("_qid", "_qv", "_qn", "_tb._t", "_tb._bucket")
+        ).select("_qid", "_tb._t", "_tb._bucket")
 
-        cands = base_flat.join(F.broadcast(q), ["_t", "_bucket"]).filter(
-            F.col("_id") != F.col("_qid")
+        pair_ids = (
+            base_flat.join(F.broadcast(q), ["_t", "_bucket"])
+            .filter(F.col("_id") != F.col("_qid"))
+            .select("_qid", "_id")
+            .dropDuplicates(["_qid", "_id"])
         )
-        # norms were computed once per ROW upstream; after the
-        # multi-table dedup each surviving pair costs one dot + one
-        # multiply (recomputing norms here would fold per PAIR)
-        scored_raw = cands.select(
-            F.col("_qid").alias("query_id"),
-            F.col("_id").alias("neighbor_id"),
-            F.col("_qv"),
-            F.col("_qn"),
-            F.col("_v"),
-            F.col("_n"),
-        ).dropDuplicates(["query_id", "neighbor_id"])
-        scored = scored_raw.select(
-            "query_id",
-            "neighbor_id",
-            _cosine(F.col("_qv"), F.col("_v"),
-                    F.col("_qn"), F.col("_n")).alias("cosine"),
+
+        # attach vectors AFTER the dedup: corpus side via shuffled
+        # equi-join on the id (16-byte pair rows meet once-per-row vector
+        # rows), query side broadcast (queries are the small set)
+        scored = (
+            pair_ids.join(base, "_id")
+            .join(
+                F.broadcast(
+                    qbase.select(
+                        F.col("_id").alias("_qid"),
+                        F.col("_v").alias("_qv"),
+                        F.col("_n").alias("_qn"),
+                    )
+                ),
+                "_qid",
+            )
+            .select(
+                F.col("_qid").alias("query_id"),
+                F.col("_id").alias("neighbor_id"),
+                _cosine(F.col("_qv"), F.col("_v"),
+                        F.col("_qn"), F.col("_n")).alias("cosine"),
+            )
         )
         w = Window.partitionBy("query_id").orderBy(
             F.col("cosine").desc(), F.col("neighbor_id").asc()

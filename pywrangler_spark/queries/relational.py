@@ -594,10 +594,16 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exact count within HLL error bounds, driver records rows-only
 @register("approx_distinct_parts")
 def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # dedup FIRST, then sketch+count the deduped keys. Putting
+    # countDistinct and approx_count_distinct in one agg triggers the
+    # Expand distinct-rewrite, which drags the rsd=0.01 HLL buffer
+    # (2^14 registers) through a per-(group, key) partial aggregate —
+    # measured 17x slower at sf0.1. Same results, one scan either way.
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    dedup = li.select("l_returnflag", "l_partkey").distinct()
+    return dedup.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.count(F.lit(1)).alias("exact_parts"),
     )
 
 
