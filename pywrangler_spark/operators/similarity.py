@@ -299,7 +299,7 @@ def train_ivf_centroids(
     n_centroids: int,
     seed: int = 42,
     sample_fraction: Optional[float] = None,
-    max_iter: int = 20,
+    max_iter: int = 8,
 ) -> np.ndarray:
     """Train the IVF coarse quantizer: distributed MLlib k-means over the
     (optionally sampled) corpus, returning **unit-normalized** centroids
@@ -316,6 +316,9 @@ def train_ivf_centroids(
     if sample_fraction is not None:
         base = base.sample(fraction=sample_fraction, seed=seed)
     feats = base.select(array_to_vector(F.col("_v")).alias("features"))
+    # 8 Lloyd iterations after k-means|| init is plenty for a COARSE
+    # quantizer — cells only need to be roughly balanced, and recall
+    # comes from n_probe, not centroid polish
     model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(feats)
     centers = np.stack([np.asarray(c, dtype="float64")
                         for c in model.clusterCenters()])

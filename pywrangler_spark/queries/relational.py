@@ -1099,3 +1099,67 @@ def argmax_order_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("o_orderkey", rank_key).alias("top_orderkey"),
         F.max("o_totalprice").alias("top_totalprice"),
     )
+
+
+# ---- q21: suppliers who kept multi-supplier orders waiting ---------------
+# Adapted (no l_receiptdate/nation filter): "late" = shipped >60 days
+# after order date. TPC-H phrases this as EXISTS (another supplier on
+# the order) AND NOT EXISTS (another LATE supplier) — correlated twice.
+# Decorrelated Spark-first into two aggregations: per (order, supplier)
+# late flag, then per order count suppliers / late suppliers and keep
+# orders with >1 supplier where exactly ONE was late. No correlated
+# subqueries, no self-joins of lineitem — two shuffles total, both on
+# orderkey (AQE reuses the partitioning for the second).
+
+_Q21_ORACLE = """
+WITH flagged AS (
+    SELECT l_orderkey,
+           l_suppkey,
+           MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                    THEN 1 ELSE 0 END) AS is_late
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1, 2
+), per_order AS (
+    SELECT l_orderkey,
+           COUNT(*) AS n_supp,
+           SUM(is_late) AS n_late,
+           MAX(CASE WHEN is_late = 1 THEN l_suppkey END) AS late_supp
+    FROM flagged
+    GROUP BY 1
+)
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM per_order JOIN supplier ON late_supp = s_suppkey
+WHERE n_supp > 1 AND n_late = 1
+GROUP BY 1
+"""
+
+
+@register("q21_waiting_supplier", oracle=_Q21_ORACLE)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = (
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    flagged = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(F.when(late, 1).otherwise(0)).alias("is_late"))
+    )
+    per_order = flagged.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("is_late").alias("n_late"),
+        F.max(F.when(F.col("is_late") == 1, F.col("l_suppkey"))).alias(
+            "late_supp"
+        ),
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        per_order.filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .join(F.broadcast(supp), F.col("late_supp") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
