@@ -82,3 +82,56 @@ def lang_id_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", "lang", lang_id(F.col("text")).alias("lang_pred")
     )
+
+
+# ---- BM25 keyword search --------------------------------------------------
+# Inverted-index retrieval as aggregation: postings only for the query's
+# terms (filter BEFORE groupBy — shuffle is |matching postings|, not
+# |corpus tokens|), corpus stats broadcast, TakeOrdered top-k. The score
+# expression string is shared verbatim between F.expr and this oracle,
+# so the f64 op order is pinned by construction; per-doc term sums
+# accumulate in DECIMAL(27,18) (order-independent).
+
+_BM25_TERMS = ("spark", "query", "join")
+
+
+def _bm25_oracle() -> str:
+    from pywrangler_spark.operators.search import bm25_formula
+
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS term
+    FROM documents
+), doclen AS (
+    SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM toks GROUP BY 1
+), stats AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM doclen
+), tf AS (
+    SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+    FROM toks WHERE term IN ({terms})
+    GROUP BY 1, 2
+), dfreq AS (
+    SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1
+)
+SELECT doc_id,
+       ROUND(CAST(SUM(CAST({bm25_formula()} AS DECIMAL(27,18))) AS DOUBLE),
+             6) AS score,
+       COUNT(*) AS n_terms
+FROM tf
+JOIN dfreq USING (term)
+JOIN doclen USING (doc_id)
+CROSS JOIN stats
+GROUP BY doc_id
+ORDER BY score DESC, doc_id
+LIMIT 10
+"""
+
+
+@register("bm25_search_docs", oracle=_bm25_oracle())
+def bm25_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pywrangler_spark.operators.search import bm25_search
+
+    return _docs(spark, sf_dir).transform(
+        bm25_search(list(_BM25_TERMS), "doc_id", "text", k=10)
+    )
