@@ -135,3 +135,69 @@ def bm25_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).transform(
         bm25_search(list(_BM25_TERMS), "doc_id", "text", k=10)
     )
+
+
+# ---- deterministic splits & stratified sampling ---------------------------
+# Training-pipeline staples that must reproduce across engines, reruns
+# and cluster sizes — md5-bucketed, never rand(). The split assignment is
+# a pure projection (no shuffle); the stratified sample is one window per
+# stratum with rank-limit pushdown.
+
+_HASH56_SQL = (
+    "('0x' || substr(md5('42' || ':' || CAST(doc_id AS VARCHAR)), 1, 14))"
+    "::BIGINT"
+)
+
+_SPLIT_ORACLE = f"""
+SELECT split, source, COUNT(*) AS n_docs
+FROM (
+    SELECT source,
+           CASE WHEN {_HASH56_SQL} % 10000 < 8000 THEN 'train'
+                WHEN {_HASH56_SQL} % 10000 < 9000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+)
+GROUP BY 1, 2
+"""
+
+
+@register("hash_split_docs", oracle=_SPLIT_ORACLE)
+def hash_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pywrangler_spark.operators.sampling import hash_split
+
+    return (
+        _docs(spark, sf_dir)
+        .transform(
+            hash_split(
+                "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed=42
+            )
+        )
+        .groupBy("split", "source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+_STRAT_ORACLE = f"""
+SELECT doc_id, source
+FROM (
+    SELECT doc_id, source,
+           row_number() OVER (
+               PARTITION BY source
+               ORDER BY {_HASH56_SQL} % 10000, doc_id
+           ) AS rn,
+           COUNT(*) OVER (PARTITION BY source) AS n
+    FROM documents
+)
+WHERE rn <= CEIL(0.2 * n)
+"""
+
+
+@register("stratified_sample_docs", oracle=_STRAT_ORACLE)
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pywrangler_spark.operators.sampling import stratified_exact_sample
+
+    return (
+        _docs(spark, sf_dir)
+        .transform(stratified_exact_sample("source", 0.2, "doc_id", seed=42))
+        .select("doc_id", "source")
+    )
