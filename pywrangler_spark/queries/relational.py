@@ -1163,3 +1163,43 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+# ---- unpivot / melt -------------------------------------------------------
+# Wide -> long via the native DataFrame.unpivot (Expand under the hood:
+# each row emits one output row per value column, scan-side, no shuffle
+# until the aggregation). Long-form totals per measure as the oracle.
+
+_UNPIVOT_ORACLE = f"""
+SELECT measure,
+       {_dsum_sql('val')} AS total,
+       COUNT(*) AS n
+FROM (
+    SELECT 'price' AS measure, l_extendedprice AS val FROM lineitem
+    UNION ALL
+    SELECT 'quantity', l_quantity FROM lineitem
+    UNION ALL
+    SELECT 'discount', l_discount FROM lineitem
+)
+GROUP BY 1
+"""
+
+
+@register("unpivot_lineitem_measures", oracle=_UNPIVOT_ORACLE)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_quantity").alias("quantity"),
+        F.col("l_discount").alias("discount"),
+    )
+    long = li.unpivot(
+        ids=["l_orderkey"],
+        values=["price", "quantity", "discount"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+    return long.groupBy("measure").agg(
+        dsum(F.col("val")).alias("total"),
+        F.count(F.lit(1)).alias("n"),
+    )

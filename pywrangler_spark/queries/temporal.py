@@ -260,3 +260,34 @@ def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _events(spark, sf_dir).transform(
         group_trend("ts", "value", "user_id", round_digits=(8, 4))
     )
+
+
+# ---- forward-fill: carry last seen value per user -------------------------
+# Nulls synthesized (value < 1 -> NULL) then forward-filled per user in
+# time order — pandas ffill semantics, one exchange. DuckDB's
+# last_value(... IGNORE NULLS) is an independent implementation of the
+# same window fill.
+
+_FFILL_ORACLE = """
+SELECT event_id,
+       user_id,
+       CAST(ts AS TIMESTAMP) AS ts,
+       last_value(CASE WHEN "value" >= 1 THEN "value" END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS value_filled
+FROM events
+"""
+
+
+@register("ffill_user_values", oracle=_FFILL_ORACLE)
+def ffill_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pywrangler_spark.operators.fill import ffill
+
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("value") >= 1, F.col("value")).alias("value_filled"),
+    )
+    return ev.transform(ffill("value_filled", "user_id", "ts"))
