@@ -186,7 +186,7 @@ SELECT {_dsum_sql('l_extendedprice * l_discount')} AS revenue,
        count(*) AS n_items
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-07-01'
   AND l_discount BETWEEN 0.05 AND 0.07
   AND l_quantity < 24
 """
@@ -197,7 +197,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return li.filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-07-01").cast("timestamp"))
         & (F.col("l_discount") >= 0.05)
         & (F.col("l_discount") <= 0.07)
         & (F.col("l_quantity") < 24)
@@ -214,7 +214,7 @@ FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN orders ON o_custkey = c_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
-WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+WHERE o_orderdate >= TIMESTAMP '1998-07-01'
   AND o_orderdate < TIMESTAMP '1998-01-01'
   AND l_returnflag = 'R'
 GROUP BY c_custkey, c_name, c_acctbal, n_name
@@ -228,7 +228,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     orders = _t(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        (F.col("o_orderdate") >= F.lit("1998-07-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
     ).select("o_orderkey", "o_custkey")
     li = _t(spark, sf_dir, "lineitem").filter(
@@ -251,7 +251,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q4_ORACLE = """
 SELECT o_orderpriority, count(*) AS order_count
 FROM orders
-WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+WHERE o_orderdate >= TIMESTAMP '1998-07-01'
   AND o_orderdate < TIMESTAMP '1998-01-01'
   AND EXISTS (
       SELECT 1 FROM lineitem
@@ -264,7 +264,7 @@ GROUP BY o_orderpriority
 @register("q4_order_priority", oracle=_Q4_ORACLE)
 def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        (F.col("o_orderdate") >= F.lit("1998-07-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
     ).select("o_orderkey", "o_orderdate", "o_orderpriority")
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
@@ -329,7 +329,7 @@ _SUPPLIER_ORACLE = f"""
 SELECT s_suppkey, s_name, {_dsum_sql(_REVENUE)} AS total_revenue
 FROM supplier
 JOIN lineitem ON l_suppkey = s_suppkey
-WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+WHERE l_shipdate >= TIMESTAMP '1998-07-01'
   AND l_shipdate < TIMESTAMP '1997-07-01'
 GROUP BY s_suppkey, s_name
 """
@@ -339,7 +339,7 @@ GROUP BY s_suppkey, s_name
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     li = _t(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        (F.col("l_shipdate") >= F.lit("1998-07-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
     ).select("l_suppkey", "l_extendedprice", "l_discount")
     return (
@@ -1202,4 +1202,187 @@ def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return long.groupBy("measure").agg(
         dsum(F.col("val")).alias("total"),
         F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ---- q2: minimum-cost supplier per part -----------------------------------
+# Adapted (no partsupp table): a supplier's "cost" for a part is the
+# minimum observed unit price (l_extendedprice / l_quantity) across its
+# lineitems. For LARGE parts of size >= 40, keep the supplier(s) in
+# EUROPE achieving the per-part minimum — ties preserved, as in TPC-H q2.
+# Spark-first: the correlated MIN subquery decorrelates into a window
+# min over p_partkey on the already-aggregated (part, supplier) rows —
+# no join-back, and the second shuffle moves only the tiny aggregate.
+# Unit prices are IEEE-identical in both engines (same division, same
+# MIN lattice), so the equality filter is engine-stable.
+
+_Q2_ORACLE = """
+WITH costs AS (
+    SELECT p_partkey, p_type, s_suppkey, s_name, s_acctbal, n_name,
+           MIN(l_extendedprice / l_quantity) AS unit_cost
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE p_size >= 40 AND p_type = 'LARGE' AND r_name = 'EUROPE'
+    GROUP BY 1, 2, 3, 4, 5, 6
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_type, unit_cost
+FROM costs
+WHERE unit_cost = (SELECT MIN(unit_cost) FROM costs c2
+                   WHERE c2.p_partkey = costs.p_partkey)
+"""
+
+
+@register("q2_min_cost_supplier", oracle=_Q2_ORACLE)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") >= 40) & (F.col("p_type") == "LARGE")
+    ).select("p_partkey", "p_type")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation.join(
+                F.broadcast(region),
+                nation.n_regionkey == region.r_regionkey,
+            ).select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit"),
+    )
+    costs = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("p_partkey", "p_type", "s_suppkey", "s_name",
+                 "s_acctbal", "n_name")
+        .agg(F.min("unit").alias("unit_cost"))
+    )
+    best = F.min("unit_cost").over(Window.partitionBy("p_partkey"))
+    return (
+        costs.withColumn("best", best)
+        .filter(F.col("unit_cost") == F.col("best"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type",
+                "unit_cost")
+    )
+
+
+# ---- q11: important parts by revenue share --------------------------------
+# Adapted (no partsupp): a part is "important" when revenue from ASIA
+# suppliers exceeds 0.0006 of the region total. The global-scalar
+# subquery decorrelates into a re-aggregation of the per-part aggregate
+# (tiny), broadcast back as a 1-row cross join — no global window, no
+# second scan of lineitem.
+
+_Q11_ORACLE = f"""
+WITH per_part AS (
+    SELECT l_partkey, {_dsum_sql(_REVENUE)} AS part_value
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY 1
+)
+SELECT l_partkey, part_value
+FROM per_part
+WHERE part_value > (SELECT SUM(part_value) * 0.0006 FROM per_part)
+"""
+
+
+@register("q11_important_parts", oracle=_Q11_ORACLE)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation.join(
+                F.broadcast(region),
+                nation.n_regionkey == region.r_regionkey,
+            ).select("n_nationkey")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    )
+    per_part = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(dsum(F.col("rev")).alias("part_value"))
+    )
+    total = per_part.agg(
+        (F.sum("part_value") * F.lit(0.0006)).alias("threshold")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select("l_partkey", "part_value")
+    )
+
+
+# ---- q20: suppliers with recent-heavy shipments of small parts ------------
+# Adapted (no ps_availqty): keep suppliers whose mid-1998-onward shipped
+# quantity of 'small %'-named parts exceeds half their all-time quantity
+# for those parts. TPC-H phrases this as a doubly-nested correlated
+# subquery; here both aggregates come from ONE conditional-aggregation
+# pass over the semi-joined lineitem — one scan, one shuffle on
+# l_suppkey, dimension broadcast.
+
+_Q20_ORACLE = f"""
+WITH shipped AS (
+    SELECT l_suppkey,
+           {_dsum_sql("CASE WHEN l_shipdate >= TIMESTAMP '1998-07-01'"
+                      " THEN l_quantity ELSE 0 END", 2)} AS recent_qty,
+           {_dsum_sql('l_quantity', 2)} AS total_qty
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_name LIKE 'small %'
+    GROUP BY 1
+)
+SELECT s_name, s_acctbal, recent_qty, total_qty
+FROM shipped JOIN supplier ON l_suppkey = s_suppkey
+WHERE recent_qty > 0.5 * total_qty
+"""
+
+
+@register("q20_recent_part_suppliers", oracle=_Q20_ORACLE)
+def q20_recent_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_name").like("small %")
+    ).select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity", "l_shipdate"
+    )
+    recent = F.when(
+        F.col("l_shipdate") >= F.lit("1998-07-01").cast("timestamp"),
+        F.col("l_quantity"),
+    ).otherwise(F.lit(0.0))
+    shipped = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"),
+                "left_semi")
+        .groupBy("l_suppkey")
+        .agg(
+            dsum(recent, 2).alias("recent_qty"),
+            dsum(F.col("l_quantity"), 2).alias("total_qty"),
+        )
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal"
+    )
+    return (
+        shipped.filter(F.col("recent_qty") > 0.5 * F.col("total_qty"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name", "s_acctbal", "recent_qty", "total_qty")
     )
