@@ -90,3 +90,45 @@ def requires(*modules: str) -> Callable:
         return wrapper
 
     return decorator
+
+
+class ColumnCacher:
+    """Stage chained column expressions as named intermediate columns.
+
+    Capability parity with the reference's ``ColumnCacher``
+    (``pw/pyspark/util.py:105-204``), which optionally materializes
+    intermediate ``withColumn`` steps to cut logical-plan depth (its
+    rationale cites SPARK-30552). On modern Catalyst the inline path is
+    the right default — ``CollapseProject`` folds the chain anyway — so
+    ``mode="lazy"`` keeps everything as pure expressions and adds NOTHING
+    to the plan; ``mode="debug"`` attaches every intermediate as a real
+    output column so plans and results can be inspected step by step.
+
+    >>> cc = ColumnCacher(df, mode="lazy")
+    >>> a = cc.add("a", F.col("x") + 1)
+    >>> b = cc.add("b", a * 2)          # builds on the staged expr
+    >>> out = cc.finish("result", b)     # one select; only `result` added
+    """
+
+    def __init__(self, df, mode: str = "lazy"):
+        if mode not in ("lazy", "debug"):
+            raise ValueError(f"mode must be 'lazy' or 'debug', got {mode!r}")
+        self.df = df
+        self.mode = mode
+        self.columns: dict[str, Any] = {}
+
+    def add(self, name: str, column):
+        """Register an intermediate expression; returns a Column usable in
+        later expressions (the expression itself — no materialization)."""
+        self.columns[name] = column
+        return column
+
+    def finish(self, name: str, column):
+        """Produce the final DataFrame with ``name`` attached. In lazy
+        mode only ``name`` is added; in debug mode every staged
+        intermediate becomes a column too (in registration order)."""
+        df = self.df
+        if self.mode == "debug":
+            for cname, expr in self.columns.items():
+                df = df.withColumn(cname, expr)
+        return df.withColumn(name, column)
