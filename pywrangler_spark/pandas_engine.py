@@ -137,3 +137,43 @@ class PandasIntervalIdentifier(BaseWrangler):
 
     def fit_transform(self, df: pd.DataFrame) -> pd.DataFrame:
         return self.fit(df).transform(df)
+
+
+def pandas_ffill(
+    columns: Union[str, Sequence[str]],
+    groupby_columns: Union[str, Sequence[str]] = (),
+    orderby_columns: Union[str, Sequence[str]] = (),
+) -> Any:
+    """Pandas twin of ``operators.fill.ffill`` — same signature, same
+    semantics (ordered per-group forward fill, original row order and
+    index preserved). ``pdf.pipe(pandas_ffill("x", "g", "t"))``."""
+    return _pandas_fill(columns, groupby_columns, orderby_columns, True)
+
+
+def pandas_bfill(
+    columns: Union[str, Sequence[str]],
+    groupby_columns: Union[str, Sequence[str]] = (),
+    orderby_columns: Union[str, Sequence[str]] = (),
+) -> Any:
+    """Pandas twin of ``operators.fill.bfill``."""
+    return _pandas_fill(columns, groupby_columns, orderby_columns, False)
+
+
+def _pandas_fill(columns, groupby_columns, orderby_columns, forward):
+    cols = list(ensure_iterable(columns))
+    groups = list(ensure_iterable(groupby_columns))
+    order = list(ensure_iterable(orderby_columns))
+    if not cols:
+        raise ValueError("fill requires at least one column")
+    if not order:
+        raise ValueError("fill requires orderby_columns (fills are ordered)")
+
+    def _transform(df: pd.DataFrame) -> pd.DataFrame:
+        ordered = df.sort_values(order, kind="stable")
+        grouped = ordered.groupby(groups)[cols] if groups else ordered[cols]
+        filled = grouped.ffill() if forward else grouped.bfill()
+        out = df.copy()
+        out[cols] = filled.reindex(df.index)
+        return out
+
+    return _transform

@@ -1,7 +1,12 @@
 """Sources & sinks."""
 
 from pywrangler_spark.sources.bucketed import read_table, write_bucketed_table
-from pywrangler_spark.sources.formats import read_csv, read_json, write_table
+from pywrangler_spark.sources.formats import (
+    read_csv,
+    read_json,
+    read_orc,
+    write_table,
+)
 from pywrangler_spark.sources.parquet import (
     TABLE_NAMES,
     load_tables,
@@ -16,6 +21,7 @@ __all__ = [
     "register_views",
     "read_csv",
     "read_json",
+    "read_orc",
     "write_table",
     "write_bucketed_table",
     "read_table",

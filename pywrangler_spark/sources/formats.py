@@ -52,6 +52,19 @@ def read_json(
     return reader.json(path)
 
 
+def read_orc(
+    spark: SparkSession,
+    path: str,
+    **options,
+) -> DataFrame:
+    """ORC scan — columnar like parquet (schema travels with the file, so
+    no explicit-schema argument needed); same pushdown/pruning behavior."""
+    reader = spark.read
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.orc(path)
+
+
 def write_table(
     df: DataFrame,
     path: str,

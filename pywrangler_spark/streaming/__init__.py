@@ -1,5 +1,6 @@
 """Structured Streaming variants of the batch operators."""
 
+from pywrangler_spark.streaming.dedup import stream_dedup_exact
 from pywrangler_spark.streaming.interval import stream_identify_intervals
 from pywrangler_spark.streaming.rollup import stream_time_bucket_rollup
 from pywrangler_spark.streaming.sessionize import stream_session_stats
@@ -8,4 +9,5 @@ __all__ = [
     "stream_session_stats",
     "stream_identify_intervals",
     "stream_time_bucket_rollup",
+    "stream_dedup_exact",
 ]

@@ -272,6 +272,18 @@ class TestSourcesFormats:
         assert sorted(map(tuple, from_csv.collect())) == expected
         assert sorted(map(tuple, from_json.collect())) == expected
 
+    def test_orc_round_trip(self, spark, tmp_path, docs):
+        from pywrangler_spark.sources import read_orc, write_table
+
+        subset = docs.select("doc_id", "lang", "n_chars").limit(50)
+        path = f"{tmp_path}/docs_orc"
+        write_table(subset, path, format="orc")
+        back = read_orc(spark, path)
+        assert back.schema == subset.schema
+        assert sorted(map(tuple, back.collect())) == sorted(
+            map(tuple, subset.collect())
+        )
+
     def test_partitioned_write_prunes(self, spark, tmp_path, docs):
         from pywrangler_spark.sources import write_table
         from pywrangler_spark.plans import explain_string

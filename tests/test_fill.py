@@ -52,3 +52,33 @@ class TestFill:
             ffill("x", "g", [])(gappy)
         with pytest.raises(ValueError, match="at least one column"):
             bfill([], "g", "t")(gappy)
+
+
+class TestPandasEngineFill:
+    def test_cross_engine_agreement(self, spark, gappy):
+        from pywrangler_spark.pandas_engine import pandas_bfill, pandas_ffill
+
+        pdf = gappy.toPandas()
+        for spark_op, pandas_op in ((ffill, pandas_ffill), (bfill, pandas_bfill)):
+            got_spark = {
+                (r.g, r.t): r.x
+                for r in gappy.transform(spark_op("x", "g", "t")).collect()
+            }
+            out = pdf.pipe(pandas_op("x", "g", "t"))
+            got_pandas = {
+                (r.g, r.t): (None if pd.isna(r.x) else r.x)
+                for r in out.itertuples()
+            }
+            assert got_spark == got_pandas
+
+    def test_index_and_row_order_preserved(self):
+        from pywrangler_spark.pandas_engine import pandas_ffill
+
+        pdf = pd.DataFrame(
+            {"g": ["a", "a", "a"], "t": [3, 1, 2], "x": [None, 5.0, None]},
+            index=[10, 20, 30],
+        )
+        out = pdf.pipe(pandas_ffill("x", "g", "t"))
+        assert list(out.index) == [10, 20, 30]
+        # row at t=3 fills from t=2 which fills from t=1 -> all 5.0 except t=1
+        assert out.loc[10, "x"] == 5.0 and out.loc[30, "x"] == 5.0

@@ -176,3 +176,57 @@ class TestStreamingRollup:
         # the bulk of buckets must have been emitted
         assert s == {k: b[k] for k in s}
         assert len(s) >= 0.8 * len(b)
+
+
+class TestStreamingDedup:
+    @pytest.fixture(scope="class")
+    def dup_stream_dir(self, spark, tmp_path_factory):
+        """Events with planted same-key replays split across two
+        micro-batch files (replays land in the LATER batch, within the
+        watermark of the originals)."""
+        base = str(tmp_path_factory.mktemp("dup_stream"))
+        ev = read_parquet(spark, f"{SF}/events.parquet").select(
+            "event_id", "user_id", "ts", "value"
+        )
+        replays = ev.orderBy("event_id").limit(40)
+        files = os.path.join(base, "files")
+        os.makedirs(files)
+        ev.coalesce(1).write.parquet(os.path.join(base, "b0"))
+        replays.coalesce(1).write.parquet(os.path.join(base, "b1"))
+        n = 0
+        for sub in ("b0", "b1"):
+            for name in sorted(os.listdir(os.path.join(base, sub))):
+                if name.endswith(".parquet"):
+                    dest = os.path.join(files, f"{n:03d}.parquet")
+                    shutil.copy(os.path.join(base, sub, name), dest)
+                    os.utime(dest, (1_700_000_000 + n * 60,) * 2)
+                    n += 1
+        return files
+
+    def test_replays_suppressed_matches_batch(self, spark, dup_stream_dir):
+        from pywrangler_spark.streaming import stream_dedup_exact
+
+        schema = "event_id bigint, user_id bigint, ts timestamp, value double"
+        out = _run_stream(
+            spark,
+            stream_dedup_exact("event_id", "ts", watermark="365 days"),
+            dup_stream_dir,
+            schema,
+            "dedup_sink",
+        )
+        batch = (
+            spark.read.schema(schema).parquet(dup_stream_dir)
+            .dropDuplicates(["event_id"])
+        )
+        assert out.count() == batch.count()
+        # every key exactly once, despite the planted replays
+        assert (
+            out.groupBy("event_id").count().filter(F.col("count") > 1).count()
+            == 0
+        )
+
+    def test_validation(self):
+        from pywrangler_spark.streaming import stream_dedup_exact
+
+        with pytest.raises(ValueError, match="at least one key"):
+            stream_dedup_exact([], "ts")
