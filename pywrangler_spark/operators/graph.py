@@ -1,0 +1,118 @@
+"""Connected components over an edge list — dedup-cluster resolution.
+
+The dedup operators (``operators/dedup.py``) emit near-duplicate PAIRS;
+turning pairs into clusters (so one canonical document per cluster can
+be kept) is a connected-components problem. The reference has no graph
+operators; this is part of the north-star training-data-pipeline
+surface.
+
+Algorithm: iterative hash-min label propagation entirely in DataFrame
+ops — every vertex starts labeled with its own id; each round every
+vertex takes the min label among itself and its neighbors; fixpoint
+reached in O(graph diameter) rounds. Near-dup clusters are dense and
+shallow (diameter ≲ 4 even for 100M-doc corpora), so the round count
+stays tiny while each round is one shuffle on vertex id — the shape
+that survives a 1000-executor scale-up. For adversarial high-diameter
+graphs the alternating large-star/small-star variant (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14) converges in
+O(log² n) rounds; not needed for dedup workloads.
+
+Lineage is truncated with ``localCheckpoint`` every round — iterative
+self-joins otherwise grow the logical plan exponentially and stall the
+driver in Catalyst, not in the executors. On a cluster prefer a
+reliable ``checkpoint`` dir for fault tolerance; local mode has no HDFS
+so the local variant is the default here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    id_column: str = "id",
+    component_column: str = "component",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Resolve an undirected edge list into components.
+
+    Returns one row per vertex appearing in ``edges``:
+    ``(id_column, component_column)`` where the component label is the
+    minimum vertex id in the component — deterministic, engine-agnostic.
+
+    Each iteration is one shuffle (vertex-id aggregation); the edge list
+    is re-used as-is every round (cache it upstream if it is the output
+    of an expensive pipeline). Raises ``RuntimeError`` if not converged
+    within ``max_iterations`` — for near-dup graphs the usual count is
+    2-4.
+    """
+    # materialize the edge list ONCE before mirroring it — the union
+    # below references it twice, and an expensive upstream pipeline
+    # (e.g. the quadratic jaccard verifier) must not run twice
+    ed = edges.select(
+        F.col(src).alias("_v"), F.col(dst).alias("_n")
+    ).localCheckpoint(eager=True)
+    adj = (
+        ed.union(ed.select(F.col("_n").alias("_v"), F.col("_v").alias("_n")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        adj.select(F.col("_v"))
+        .distinct()
+        .select("_v", F.col("_v").alias("_lab"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iterations):
+        # message = neighbor labels; vertex keeps min(own, neighbors)
+        msgs = adj.join(
+            labels.withColumnRenamed("_v", "_n"), on="_n"
+        ).select("_v", "_lab")
+        new_labels = (
+            msgs.union(labels)
+            .groupBy("_v")
+            .agg(F.min("_lab").alias("_lab"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("_lab", "_old"), "_v")
+            .filter(F.col("_lab") != F.col("_old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select(
+                F.col("_v").alias(id_column),
+                F.col("_lab").alias(component_column),
+            )
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iterations} rounds"
+    )
+
+
+def dedup_resolve(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_column: str,
+    pair_a: str = "id_a",
+    pair_b: str = "id_b",
+) -> DataFrame:
+    """Keep one canonical row per near-duplicate cluster.
+
+    ``pairs`` is any (id_a, id_b) near-dup pair output (minhash-LSH,
+    simhash, jaccard...). Rows not appearing in any pair pass through;
+    within each cluster only the minimum-id row survives. The components
+    table is tiny relative to ``df`` (only docs in pairs) so the final
+    join broadcasts.
+    """
+    comp = connected_components(pairs, src=pair_a, dst=pair_b)
+    losers = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_column)
+    )
+    return df.join(F.broadcast(losers), on=id_column, how="left_anti")

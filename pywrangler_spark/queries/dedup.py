@@ -205,3 +205,59 @@ SELECT id, CAST({assemble} AS BIGINT) AS simhash FROM votes
 @register("dedup_simhash", oracle=_simhash_oracle())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).transform(simhash_table("doc_id", "text"))
+
+
+# ---- near-dup clusters: pairs -> connected components ----------------------
+# The jaccard pairs (same derivation as dedup_ngram_jaccard, same cap)
+# resolved into clusters by iterative hash-min label propagation
+# (operators/graph.py). The oracle is a genuinely independent
+# implementation: DuckDB's recursive CTE computes the transitive
+# closure and takes MIN(reachable id) per vertex.
+
+_CLUSTERS_ORACLE = (
+    _SHINGLES_SQL.replace("WITH d AS", "WITH RECURSIVE d AS")
+    + """
+, shh AS (
+    SELECT doc_id, ('0x' || substr(md5(s), 1, 14))::BIGINT AS h FROM sh
+), cnt AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS k
+    FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+), pairs AS (
+    SELECT id_a, id_b
+    FROM inter
+    JOIN cnt ca ON ca.doc_id = id_a
+    JOIN cnt cb ON cb.doc_id = id_b
+    WHERE k * 1.0 / (ca.n + cb.n - k) >= 0.5
+), e AS (
+    SELECT id_a AS s, id_b AS d FROM pairs
+    UNION ALL
+    SELECT id_b, id_a FROM pairs
+), reach(id, lab) AS (
+    SELECT s, s FROM e
+    UNION
+    SELECT e.d, r.lab FROM reach r JOIN e ON e.s = r.id
+)
+SELECT id AS doc_id, CAST(MIN(lab) AS BIGINT) AS component
+FROM reach GROUP BY id
+"""
+)
+
+
+@register("dedup_clusters_jaccard", oracle=_CLUSTERS_ORACLE)
+def dedup_clusters_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pywrangler_spark.operators.graph import connected_components
+
+    pairs = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") < _JACCARD_CAP)
+        .transform(
+            ngram_jaccard_pairs("doc_id", "text", shingle_k=3, threshold=0.5)
+        )
+        .select("id_a", "id_b")
+    )
+    return connected_components(
+        pairs, src="id_a", dst="id_b",
+        id_column="doc_id", component_column="component",
+    )
