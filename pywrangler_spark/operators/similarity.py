@@ -409,3 +409,71 @@ def topk_cosine_ivf(
         )
 
     return _transform
+
+
+def topk_cosine_int8(
+    id_column: str,
+    vector_column: str,
+    k: int = 10,
+    query_filter: Optional[Column] = None,
+) -> Callable[[DataFrame], DataFrame]:
+    """Top-k cosine over int8-quantized vectors — the memory-bound scale
+    path (4x smaller than f32 in shuffle/cache, integer dot products).
+
+    Cosine is scale-invariant, so the per-vector quantization scales
+    cancel: score = dot_q / sqrt(nsq_a · nsq_b) with exact integer
+    numerator/norms — bit-reproducible across engines with no fp-fold
+    caveats at all. Scores approximate the f64 cosine to ~1e-2 (rank
+    agreement verified against ``topk_cosine`` in tests).
+
+    Output: (query_id, neighbor_id, cosine_q, rank).
+    """
+    from pywrangler_spark.functions.vectors import (
+        int8_norm_sq,
+        int8_quantize,
+        int8_scale,
+    )
+
+    def _quantized(frame: DataFrame, idc: str, qc: str, nc: str) -> DataFrame:
+        v = to_double_array(F.col(vector_column))
+        scaled = frame.select(
+            F.col(id_column).alias(idc),
+            int8_quantize(v, int8_scale(v)).alias(qc),
+        )
+        return scaled.select(idc, qc, int8_norm_sq(F.col(qc)).alias(nc))
+
+    def _transform(df: DataFrame) -> DataFrame:
+        base = _quantized(df, "_id", "_bq", "_bn")
+        queries = _quantized(
+            df if query_filter is None else df.filter(query_filter),
+            "_qid", "_qq", "_qn",
+        )
+        from pywrangler_spark.functions.vectors import int8_dot
+
+        pairs = base.crossJoin(F.broadcast(queries)).filter(
+            F.col("_id") != F.col("_qid")
+        )
+        score = F.round(
+            int8_dot(F.col("_qq"), F.col("_bq"))
+            / F.nullif(
+                F.sqrt(
+                    (F.col("_qn") * F.col("_bn")).cast("double")
+                ),
+                F.lit(0.0),
+            ),
+            6,
+        )
+        scored = pairs.select(
+            F.col("_qid").alias("query_id"),
+            F.col("_id").alias("neighbor_id"),
+            score.alias("cosine_q"),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine_q").desc(), F.col("neighbor_id").asc()
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
+
+    return _transform

@@ -119,3 +119,56 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _emb(spark, sf_dir).transform(
         cosine_neardup_pairs("vec_id", "embedding", threshold=0.3)
     )
+
+
+# ---- int8-quantized brute force -------------------------------------------
+# Same query shape as ann_topk_bruteforce but over int8-quantized
+# vectors: integer dot products, scales cancel in cosine, so both
+# engines compute EXACT integer numerators/norms — the score is
+# bit-identical by construction (integer sums are exact in f64 far
+# below 2^53). Ranking therefore hash-matches with no fp caveats.
+
+_INT8_ORACLE = """
+WITH e AS (
+    SELECT vec_id,
+           embedding::DOUBLE[] AS v,
+           nullif(list_max(list_transform(embedding::DOUBLE[],
+                                          x -> abs(x))) / 127.0,
+                  0.0) AS s
+    FROM embeddings
+), q8 AS (
+    SELECT vec_id,
+           list_transform(v, x -> coalesce(round(x / s), 0.0)) AS q
+    FROM e
+), n8 AS (
+    SELECT vec_id, q, list_dot_product(q, q) AS nsq FROM q8
+), qs AS (
+    SELECT vec_id AS qid, q AS qq, nsq AS qn FROM n8 WHERE vec_id % 40 = 0
+), scored AS (
+    SELECT qid AS query_id, n8.vec_id AS neighbor_id,
+           round(list_dot_product(qq, n8.q)
+                 / nullif(sqrt(qn * n8.nsq), 0.0), 6) AS cosine_q
+    FROM qs JOIN n8 ON n8.vec_id != qs.qid
+)
+SELECT query_id, neighbor_id, cosine_q, CAST(rn AS INT) AS rank
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine_q DESC, neighbor_id) AS rn
+    FROM scored
+)
+WHERE rn <= 10
+"""
+
+
+@register("ann_topk_int8", oracle=_INT8_ORACLE)
+def ann_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pywrangler_spark.operators.similarity import topk_cosine_int8
+
+    return _emb(spark, sf_dir).transform(
+        topk_cosine_int8(
+            "vec_id",
+            "embedding",
+            k=10,
+            query_filter=F.col("vec_id") % 40 == 0,
+        )
+    )

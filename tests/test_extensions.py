@@ -310,3 +310,61 @@ class TestApproxDistinct:
         for r in rows:
             rel_err = abs(r.approx_parts - r.exact_parts) / r.exact_parts
             assert rel_err < 0.05, f"{r.l_returnflag}: {rel_err}"
+
+
+class TestInt8Quantization:
+    def test_quantize_roundtrip_error_bound(self, spark):
+        import numpy as np
+
+        from pywrangler_spark.functions.vectors import (
+            int8_quantize,
+            int8_scale,
+            to_double_array,
+        )
+
+        rng = np.random.default_rng(3)
+        vecs = [(i, rng.normal(size=32).tolist()) for i in range(50)]
+        vecs.append((50, [0.0] * 32))  # zero vector edge case
+        df = spark.createDataFrame(vecs, ["id", "v"])
+        v = to_double_array(F.col("v"))
+        s = int8_scale(v)
+        out = df.select(
+            "id", "v", s.alias("scale"), int8_quantize(v, s).alias("q")
+        ).collect()
+        for r in out:
+            if r.id == 50:
+                assert r.scale is None and all(x == 0 for x in r.q)
+                continue
+            # dequantized error <= scale/2 per element (symmetric rounding)
+            for orig, qv in zip(r.v, r.q):
+                assert abs(orig - qv * r.scale) <= r.scale / 2 + 1e-12
+                assert -127 <= qv <= 127
+
+    def test_int8_topk_rank_agreement(self, spark, embeddings):
+        from pywrangler_spark.operators.similarity import (
+            topk_cosine,
+            topk_cosine_int8,
+        )
+
+        qf = F.col("vec_id") % 97 == 0
+        exact = embeddings.transform(
+            topk_cosine("vec_id", "embedding", k=10, query_filter=qf)
+        )
+        quant = embeddings.transform(
+            topk_cosine_int8("vec_id", "embedding", k=10, query_filter=qf)
+        )
+        ex = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+        qu = {(r.query_id, r.neighbor_id) for r in quant.collect()}
+        # int8 scores track f64 cosine closely; top-10 overlap >= 80%
+        assert len(ex & qu) / len(ex) >= 0.8
+
+    def test_int8_dot_exact(self, spark):
+        from pywrangler_spark.functions.vectors import int8_dot
+
+        df = spark.createDataFrame(
+            [([127, -127, 5], [127, 127, 2])], ["a", "b"]
+        )
+        got = df.select(
+            int8_dot(F.col("a"), F.col("b")).alias("d")
+        ).first().d
+        assert got == 127 * 127 - 127 * 127 + 10
