@@ -201,3 +201,73 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(stratified_exact_sample("source", 0.2, "doc_id", seed=42))
         .select("doc_id", "source")
     )
+
+
+# ---- document chunking -----------------------------------------------------
+# Fixed-size overlapping windows with 1-based char offsets; the oracle
+# re-derives the window grid with generate_series + substr (identical
+# start/step arithmetic, both engines' substring is 1-based).
+
+_CHUNK_ORACLE = """
+SELECT doc_id,
+       CAST(i AS INT) AS chunk_index,
+       CAST(s AS INT) AS chunk_start,
+       substr(text, s, 200) AS chunk
+FROM documents,
+     LATERAL (
+        SELECT UNNEST(range(0, CAST(ceil(len(text) / 150.0) AS BIGINT))) AS i
+     ),
+     LATERAL (SELECT 1 + i * 150 AS s)
+WHERE text IS NOT NULL AND len(text) > 0 AND s <= len(text)
+"""
+
+
+@register("chunk_documents_200", oracle=_CHUNK_ORACLE)
+def chunk_documents_200(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pywrangler_spark.operators.chunk import chunk_documents
+
+    return _docs(spark, sf_dir).transform(
+        chunk_documents("doc_id", "text", chunk_size=200, overlap=50)
+    )
+
+
+# ---- percentile quality gate -----------------------------------------------
+# Exact global percentile cutoffs on two signals, broadcast back as a
+# 1-row cross join; DuckDB computes the same cutoffs with quantile_cont
+# (continuous interpolation == F.percentile).
+
+_GATE_ORACLE = f"""
+WITH sig AS (
+    SELECT doc_id,
+           CASE WHEN {_NORM_SQL} = '' THEN 0
+                ELSE len(string_split({_NORM_SQL}, ' ')) END AS n_tokens,
+           len(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+               / nullif(len(text), 0) AS alpha_ratio
+    FROM documents
+), cuts AS (
+    SELECT quantile_cont(n_tokens, 0.05) AS lo_t,
+           quantile_cont(n_tokens, 0.95) AS hi_t,
+           quantile_cont(alpha_ratio, 0.10) AS lo_a
+    FROM sig
+)
+SELECT doc_id, n_tokens, alpha_ratio
+FROM sig, cuts
+WHERE n_tokens >= lo_t AND n_tokens <= hi_t AND alpha_ratio >= lo_a
+"""
+
+
+@register("quality_gate_docs", oracle=_GATE_ORACLE)
+def quality_gate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pywrangler_spark.operators.quality import percentile_gate
+
+    sig = _docs(spark, sf_dir).select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        quality_alpha_ratio(F.col("text")).alias("alpha_ratio"),
+    )
+    return sig.transform(
+        percentile_gate(
+            {"n_tokens": (0.05, 0.95), "alpha_ratio": (0.10, None)},
+            exact=True,
+        )
+    )
