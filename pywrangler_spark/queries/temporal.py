@@ -291,3 +291,36 @@ def ffill_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("value") >= 1, F.col("value")).alias("value_filled"),
     )
     return ev.transform(ffill("value_filled", "user_id", "ts"))
+
+
+# ---- latest record per key: changelog compaction --------------------------
+# max_by(struct(payload), struct(ts, event_id)) — ONE shuffle with
+# map-side partial reduce (see ``operators.latest``); the row_number
+# oracle is the independent window formulation of the same semantics.
+
+_LATEST_ORACLE = """
+SELECT event_id,
+       CAST(ts AS TIMESTAMP) AS ts,
+       user_id,
+       event_type,
+       "value",
+       props
+FROM (
+    SELECT *,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+)
+WHERE rn = 1
+"""
+
+
+@register("latest_event_per_user", oracle=_LATEST_ORACLE)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each user's most recent event (event_id tiebreak) — SCD/changelog
+    compaction via ``operators.latest.latest_by_key``."""
+    from pywrangler_spark.operators.latest import latest_by_key
+
+    return _events(spark, sf_dir).transform(
+        latest_by_key("user_id", "ts", "event_id")
+    )
