@@ -48,3 +48,70 @@ def latest_by_key(
         )
 
     return _transform
+
+
+def scd2_from_changelog(
+    key_columns: Union[str, Sequence[str]],
+    order_column: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    tiebreak_columns: Union[str, Sequence[str]] = (),
+) -> Callable[[DataFrame], DataFrame]:
+    """Turn a changelog into SCD-type-2 validity intervals: each row
+    becomes valid from its own ``order_column`` until the key's next
+    change (NULL = still current). One window, one shuffle on the key —
+    no self-join; at scale this is the cheapest possible formulation
+    (the join-based one shuffles the table twice and skews on hot keys).
+
+    ``df.transform(scd2_from_changelog("user_id", "ts"))``
+    """
+    from pyspark.sql import Window
+
+    keys = list(ensure_iterable(key_columns))
+    ties = list(ensure_iterable(tiebreak_columns))
+    if not keys:
+        raise ValueError("scd2_from_changelog requires at least one key column")
+
+    def _transform(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy(*keys).orderBy(order_column, *ties)
+        return df.withColumn(valid_from, F.col(order_column)).withColumn(
+            valid_to, F.lead(order_column).over(w)
+        )
+
+    return _transform
+
+
+def drop_unchanged(
+    key_columns: Union[str, Sequence[str]],
+    order_column: str,
+    value_columns: Union[str, Sequence[str]],
+) -> Callable[[DataFrame], DataFrame]:
+    """Collapse runs of identical values per key (changelog compression):
+    keep a row only when any ``value_columns`` entry differs (null-safely)
+    from the key's previous row; each key's first row always survives.
+    One window on (key, order) — the filter happens post-shuffle on the
+    sorted partition, so nothing is re-shuffled and downstream consumers
+    inherit the (key, order) clustering.
+
+    ``df.transform(drop_unchanged("user_id", "ts", ["plan", "region"]))``
+    """
+    from pyspark.sql import Window
+
+    keys = list(ensure_iterable(key_columns))
+    vals = list(ensure_iterable(value_columns))
+    if not keys or not vals:
+        raise ValueError("drop_unchanged requires key and value columns")
+
+    def _transform(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy(*keys).orderBy(order_column)
+        changed = F.lit(False)
+        for c in vals:
+            changed = changed | ~F.col(c).eqNullSafe(F.lag(c).over(w))
+        first = F.row_number().over(w) == 1
+        return (
+            df.withColumn("_keep", first | changed)
+            .where(F.col("_keep"))
+            .drop("_keep")
+        )
+
+    return _transform

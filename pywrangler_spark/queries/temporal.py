@@ -324,3 +324,66 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _events(spark, sf_dir).transform(
         latest_by_key("user_id", "ts", "event_id")
     )
+
+
+# ---- SCD-2 validity intervals from the event changelog --------------------
+# valid_to = lead(ts) per user — one window, one shuffle, no self-join.
+
+_SCD2_ORACLE = """
+SELECT event_id,
+       user_id,
+       event_type,
+       CAST(ts AS TIMESTAMP) AS valid_from,
+       CAST(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            AS TIMESTAMP) AS valid_to
+FROM events
+"""
+
+
+@register("scd2_user_history", oracle=_SCD2_ORACLE)
+def scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 history: each event valid from its ts until the user's
+    next event (NULL = current). ``operators.latest.scd2_from_changelog``."""
+    from pywrangler_spark.operators.latest import scd2_from_changelog
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    out = ev.transform(
+        scd2_from_changelog("user_id", "ts", "valid_from", "valid_to",
+                            tiebreak_columns="event_id")
+    )
+    return out.select(
+        "event_id", "user_id", "event_type", "valid_from", "valid_to"
+    )
+
+
+# ---- consecutive-duplicate collapse (changelog compression) ---------------
+
+_UNCHANGED_ORACLE = """
+SELECT event_id,
+       user_id,
+       CAST(ts AS TIMESTAMP) AS ts,
+       event_type
+FROM (
+    SELECT *,
+           lag(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS rn
+    FROM events
+)
+WHERE rn = 1 OR event_type IS DISTINCT FROM prev_type
+"""
+
+
+@register("changelog_compress_events", oracle=_UNCHANGED_ORACLE)
+def changelog_compress_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop events whose event_type equals the user's previous event_type
+    (null-safe) — ``operators.latest.drop_unchanged``."""
+    from pywrangler_spark.operators.latest import drop_unchanged
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    return ev.transform(drop_unchanged("user_id", ["ts", "event_id"], "event_type"))

@@ -83,3 +83,62 @@ class TestChunkProperty:
         )
         assert "".join(r.chunk for r in out) == text
         assert all(len(r.chunk) <= chunk_size for r in out)
+
+
+class TestScd2:
+    def test_intervals(self, spark):
+        from pywrangler_spark.operators.latest import scd2_from_changelog
+
+        df = spark.createDataFrame(
+            [("a", 1, "x"), ("a", 5, "y"), ("a", 9, "z"), ("b", 2, "p")],
+            ["k", "ts", "val"],
+        )
+        got = {
+            (r.k, r.ts): (r.valid_from, r.valid_to)
+            for r in df.transform(scd2_from_changelog("k", "ts")).collect()
+        }
+        assert got == {
+            ("a", 1): (1, 5),
+            ("a", 5): (5, 9),
+            ("a", 9): (9, None),
+            ("b", 2): (2, None),
+        }
+
+    def test_validation(self):
+        from pywrangler_spark.operators.latest import scd2_from_changelog
+
+        with pytest.raises(ValueError, match="key column"):
+            scd2_from_changelog([], "ts")
+
+
+class TestDropUnchanged:
+    def test_collapses_runs(self, spark):
+        from pywrangler_spark.operators.latest import drop_unchanged
+
+        rows = [
+            ("a", 1, "x"), ("a", 2, "x"), ("a", 3, "y"),
+            ("a", 4, "y"), ("a", 5, "x"), ("b", 1, "p"),
+        ]
+        df = spark.createDataFrame(rows, ["k", "ts", "val"])
+        out = df.transform(drop_unchanged("k", "ts", "val"))
+        got = sorted((r.k, r.ts, r.val) for r in out.collect())
+        assert got == [("a", 1, "x"), ("a", 3, "y"), ("a", 5, "x"),
+                       ("b", 1, "p")]
+
+    def test_null_runs_collapse(self, spark):
+        from pywrangler_spark.operators.latest import drop_unchanged
+
+        rows = [("a", 1, None), ("a", 2, None), ("a", 3, "x"),
+                ("a", 4, None)]
+        df = spark.createDataFrame(rows, ["k", "ts", "val"])
+        out = df.transform(drop_unchanged("k", "ts", "val"))
+        assert sorted((r.ts, r.val) for r in out.collect()) == [
+            (1, None), (3, "x"), (4, None)
+        ]
+
+    def test_single_exchange(self, spark):
+        from pywrangler_spark.operators.latest import drop_unchanged
+
+        df = spark.createDataFrame([("a", 1, "x")], ["k", "ts", "val"])
+        out = df.transform(drop_unchanged("k", "ts", ["val"]))
+        assert count_exchanges(out) == 1
