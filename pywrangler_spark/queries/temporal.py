@@ -387,3 +387,38 @@ def changelog_compress_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "ts", "event_type"
     )
     return ev.transform(drop_unchanged("user_id", ["ts", "event_id"], "event_type"))
+
+
+# ---- semi-structured JSON metadata rollup ---------------------------------
+# props parsed ONCE per row via from_json (codegen, no Python);
+# get_json_object-per-field would re-parse N times. DuckDB's native JSON
+# extension is the independent oracle.
+
+_JSON_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       ROUND(AVG(CAST(json_extract(props, '$.k') AS INTEGER)), 6) AS avg_k,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT)
+           AS sum_k,
+       MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("json_props_by_type", oracle=_JSON_ORACLE)
+def json_props_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse the events JSON metadata column and aggregate the extracted
+    field per event_type — ``functions.json.extract_json`` (single
+    from_json parse, dropped pre-shuffle so the raw string never moves)."""
+    from pywrangler_spark.functions.json import extract_json
+
+    ev = _events(spark, sf_dir).select("event_type", "props").transform(
+        extract_json("props", "k INT", drop=True)
+    )
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.avg("k"), 6).alias("avg_k"),
+        F.sum("k").cast("bigint").alias("sum_k"),
+        F.max("k").alias("max_k"),
+    )
