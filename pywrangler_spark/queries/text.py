@@ -20,6 +20,7 @@ from pywrangler_spark.functions.text import (
     normalize_text,
     quality_alpha_ratio,
     token_count,
+    words,
 )
 from pywrangler_spark.queries import register
 from pywrangler_spark.sources import read_parquet
@@ -271,3 +272,47 @@ def quality_gate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact=True,
         )
     )
+
+
+# ---- vocabulary building: corpus term frequencies -------------------------
+# explode(words) → one shuffle keyed by term (map-side partial counts);
+# countDistinct(doc_id) goes through Catalyst's two-phase distinct
+# rewrite — both counts stay exact. Deterministic top-k: occurrences
+# DESC with term tiebreak, so the LIMIT boundary is engine-independent.
+# At 100 TB this is the BPE-vocabulary / idf-table build; hot terms are
+# fine (partial aggregation collapses them map-side before the shuffle).
+
+_VOCAB_ORACLE = """
+SELECT term,
+       COUNT(*)                AS occurrences,
+       COUNT(DISTINCT doc_id)  AS n_docs
+FROM (
+    SELECT doc_id,
+           unnest(string_split(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+               ' ')) AS term
+    FROM documents
+)
+WHERE term <> ''
+GROUP BY term
+ORDER BY occurrences DESC, term
+LIMIT 200
+"""
+
+
+@register("vocab_top_terms", oracle=_VOCAB_ORACLE)
+def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-200 corpus terms by occurrence (with document frequency) —
+    the vocabulary/idf-table build step of a text pipeline."""
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(words(F.col("text"))).alias("term")
+    )
+    agg = (
+        toks.where(F.col("term") != "")
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
+    return agg.orderBy(F.desc("occurrences"), "term").limit(200)
