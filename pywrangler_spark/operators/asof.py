@@ -148,6 +148,7 @@ def time_bucket_rollup(
     bucket: str,
     groupby_columns: Union[str, Sequence[str]] = (),
     aggs: Optional[Sequence] = None,
+    slide: Optional[str] = None,
 ) -> Callable[[DataFrame], DataFrame]:
     """Hypertable-style fixed-width time-bucket rollup: assign each row to
     a tumbling bucket (``F.window`` — JVM-side, codegen'd) and aggregate
@@ -155,13 +156,19 @@ def time_bucket_rollup(
     aggregation is map-side so the exchange carries only group rows.
 
     ``bucket`` is a Spark interval string ("1 hour", "15 minutes").
+    ``slide`` (optional, must divide ``bucket``) makes the windows
+    HOPPING: each row lands in bucket/slide overlapping windows (Spark
+    expands rows pre-aggregation — the fan-out is the window/slide
+    ratio, so keep it small at scale; partial agg still collapses
+    map-side before the shuffle).
     Emits ``bucket_start`` as the bucket label plus the aggregates.
     """
     groups = list(ensure_iterable(groupby_columns))
 
     def _transform(df: DataFrame) -> DataFrame:
         agg_list = list(aggs) if aggs else [F.count(F.lit(1)).alias("n")]
-        win = F.window(F.col(ts_column), bucket)
+        win = (F.window(F.col(ts_column), bucket, slide)
+               if slide else F.window(F.col(ts_column), bucket))
         out = df.groupBy(win.alias("__b"), *groups).agg(*agg_list)
         return out.select(
             F.col("__b.start").alias("bucket_start"), *groups,

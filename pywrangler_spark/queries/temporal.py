@@ -422,3 +422,45 @@ def json_props_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("k").cast("bigint").alias("sum_k"),
         F.max("k").alias("max_k"),
     )
+
+
+# ---- hopping (sliding) time-bucket rollup ---------------------------------
+# 1-hour windows every 30 minutes: each event lands in exactly 2 windows
+# (window/slide ratio). Spark expands rows pre-aggregation; the oracle
+# re-derives both containing windows per event by shifting the 30-minute
+# grid bucket (slide divides window, so both candidates always contain
+# the event — no filter needed; grids are midnight-aligned in both
+# engines for sub-day widths).
+
+_HOP_ORACLE = """
+SELECT bucket_start,
+       event_type,
+       COUNT(*)               AS n_events,
+       ROUND(SUM("value"), 4) AS value_sum
+FROM (
+    SELECT e.event_type,
+           e."value",
+           time_bucket(INTERVAL 30 MINUTE, CAST(e.ts AS TIMESTAMP))
+               - k.k * INTERVAL 30 MINUTE AS bucket_start
+    FROM events e, (SELECT unnest([0, 1]) AS k) k
+)
+GROUP BY 1, 2
+"""
+
+
+@register("hopping_hourly_30m", oracle=_HOP_ORACLE)
+def hopping_hourly_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping rollup: 1-hour windows sliding every 30 minutes, counts and
+    value sums per event_type — ``time_bucket_rollup(slide=...)``."""
+    return _events(spark, sf_dir).transform(
+        time_bucket_rollup(
+            "ts",
+            "1 hour",
+            groupby_columns="event_type",
+            aggs=[
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 4).alias("value_sum"),
+            ],
+            slide="30 minutes",
+        )
+    )

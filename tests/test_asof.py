@@ -213,3 +213,26 @@ class TestTimeBucket:
             (r.bucket_start.hour): r.s for r in out.collect()
         }
         assert got == {10: 3.0, 11: 4.0}
+
+
+class TestHoppingBucket:
+    def test_each_row_in_window_over_slide_buckets(self, spark):
+        from datetime import datetime
+
+        from pywrangler_spark.operators.asof import time_bucket_rollup
+
+        df = spark.createDataFrame(
+            [(datetime(2024, 1, 1, 0, 10), 1.0),
+             (datetime(2024, 1, 1, 0, 40), 2.0)],
+            ["ts", "value"],
+        )
+        out = df.transform(
+            time_bucket_rollup(
+                "ts", "1 hour",
+                aggs=[F.sum("value").alias("s")],
+                slide="30 minutes",
+            )
+        ).collect()
+        got = {r.bucket_start.strftime("%H:%M"): r.s for r in out}
+        # 00:10 -> windows starting 23:30, 00:00; 00:40 -> 00:00, 00:30
+        assert got == {"23:30": 1.0, "00:00": 3.0, "00:30": 2.0}
