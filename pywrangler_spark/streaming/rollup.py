@@ -25,18 +25,23 @@ def stream_time_bucket_rollup(
     groupby_columns: Union[str, Sequence[str]] = (),
     aggs: Optional[Sequence] = None,
     watermark: str = "1 day",
+    slide: Optional[str] = None,
 ) -> Callable[[DataFrame], DataFrame]:
     """Tumbling-bucket aggregates over a streaming DataFrame; output
     schema matches the batch ``time_bucket_rollup`` (``bucket_start`` +
     groups + aggregates), so the two are interchangeable downstream —
-    equivalence is asserted in the test suite."""
+    equivalence is asserted in the test suite. ``slide`` makes the
+    windows hopping, exactly as in the batch operator; state grows by
+    the window/slide ratio (each row lives in that many windows)."""
     groups = list(ensure_iterable(groupby_columns))
 
     def _transform(sdf: DataFrame) -> DataFrame:
         agg_list = list(aggs) if aggs else [F.count(F.lit(1)).alias("n")]
+        win = (F.window(F.col(ts_column), bucket, slide)
+               if slide else F.window(F.col(ts_column), bucket))
         out = (
             sdf.withWatermark(ts_column, watermark)
-            .groupBy(F.window(F.col(ts_column), bucket).alias("__b"), *groups)
+            .groupBy(win.alias("__b"), *groups)
             .agg(*agg_list)
         )
         return out.select(

@@ -177,6 +177,33 @@ class TestStreamingRollup:
         assert s == {k: b[k] for k in s}
         assert len(s) >= 0.8 * len(b)
 
+    def test_hopping_buckets_match_batch(self, spark, events_stream_dir):
+        from pywrangler_spark.operators.asof import time_bucket_rollup
+        from pywrangler_spark.streaming import stream_time_bucket_rollup
+
+        ev = read_parquet(spark, f"{SF}/events.parquet")
+        aggs = [F.count(F.lit(1)).alias("n_events")]
+        batch = ev.transform(
+            time_bucket_rollup(
+                "ts", "1 hour", "event_type", aggs, slide="30 minutes"
+            )
+        )
+        streamed = _run_stream(
+            spark,
+            stream_time_bucket_rollup(
+                "ts", "1 hour", "event_type", aggs,
+                watermark="2 hours", slide="30 minutes",
+            ),
+            events_stream_dir,
+            ev.schema,
+            "hop_rollup_sink",
+        )
+        key = lambda r: (r.bucket_start, r.event_type)  # noqa: E731
+        b = {key(r): r.n_events for r in batch.collect()}
+        s = {key(r): r.n_events for r in streamed.collect()}
+        assert s == {k: b[k] for k in s}
+        assert len(s) >= 0.8 * len(b)
+
 
 class TestStreamingDedup:
     @pytest.fixture(scope="class")
