@@ -1,0 +1,76 @@
+"""One-pass column profiling (data-quality stats).
+
+``column_profile`` computes per-column null counts, distinct counts and
+min/max for many columns in a SINGLE aggregation over ONE scan, then
+unpivots the one-row result to a (column_name, stats...) long table with
+``stack`` — the wide->long step runs on ONE row, so it is free.
+
+Scale notes (100 TB):
+- ``exact=True`` uses ``count(DISTINCT col)`` per column; Catalyst's
+  distinct rewrite expands the scan rows by the number of distinct
+  aggregates (one Expand projection per column). Fine for a handful of
+  columns; for wide profiling use ``exact=False`` —
+  ``approx_count_distinct`` (HyperLogLog++) keeps the plan a plain
+  two-phase agg with NO row expansion regardless of column count.
+- The aggregate output is one row; nothing but partial-agg buffers ever
+  reaches the exchange. This is strictly cheaper than per-column
+  ``df.select(...).distinct().count()`` loops, which rescan the table
+  once per column.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence, Union
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pywrangler_spark.util import ensure_iterable
+
+
+def column_profile(
+    columns: Union[str, Sequence[str]],
+    exact: bool = True,
+    rsd: float = 0.05,
+) -> Callable[[DataFrame], DataFrame]:
+    """Profile numeric/comparable columns: one row per column with
+    ``n_rows, n_nonnull, n_distinct, min_value, max_value`` (min/max as
+    DOUBLE). One scan, one aggregation, wide->long on a single row.
+
+    ``df.transform(column_profile(["l_quantity", "l_extendedprice"]))``
+    """
+    cols = list(ensure_iterable(columns))
+    if not cols:
+        raise ValueError("column_profile requires at least one column")
+
+    def _distinct(c: str):
+        if exact:
+            return F.countDistinct(F.col(c))
+        return F.approx_count_distinct(F.col(c), rsd)
+
+    def _transform(df: DataFrame) -> DataFrame:
+        aggs = [F.count(F.lit(1)).alias("n_rows")]
+        for c in cols:
+            aggs += [
+                F.count(F.col(c)).alias(f"_nn_{c}"),
+                _distinct(c).alias(f"_nd_{c}"),
+                F.min(F.col(c)).cast("double").alias(f"_mn_{c}"),
+                F.max(F.col(c)).cast("double").alias(f"_mx_{c}"),
+            ]
+        wide = df.agg(*aggs)
+        stack_args = ", ".join(
+            f"'{c}', _nn_{c}, _nd_{c}, _mn_{c}, _mx_{c}" for c in cols
+        )
+        stacked = wide.select(
+            "n_rows",
+            F.expr(
+                f"stack({len(cols)}, {stack_args}) AS "
+                "(column_name, n_nonnull, n_distinct, min_value, max_value)"
+            ),
+        )
+        return stacked.select(
+            "column_name", "n_rows", "n_nonnull", "n_distinct",
+            "min_value", "max_value",
+        )
+
+    return _transform

@@ -1386,3 +1386,34 @@ def q20_recent_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_name", "s_acctbal", "recent_qty", "total_qty")
     )
+
+
+# ---- one-pass column profiling (data-quality stats) -----------------------
+# All stats for all columns in ONE aggregation over ONE scan
+# (operators.profile); the oracle recomputes per column and UNION ALLs —
+# deliberately the naive multi-scan formulation, so agreement pins the
+# single-pass rewrite.
+
+_PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS column_name,
+       COUNT(*) AS n_rows,
+       COUNT({c}) AS n_nonnull,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(MIN({c}) AS DOUBLE) AS min_value,
+       CAST(MAX({c}) AS DOUBLE) AS max_value
+FROM lineitem"""
+    for c in _PROFILE_COLS
+)
+
+
+@register("profile_lineitem_columns", oracle=_PROFILE_ORACLE)
+def profile_lineitem_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null/distinct/min/max profile of the lineitem money columns —
+    ``operators.profile.column_profile`` (single scan, single agg)."""
+    from pywrangler_spark.operators.profile import column_profile
+
+    return _t(spark, sf_dir, "lineitem").transform(
+        column_profile(_PROFILE_COLS)
+    )
