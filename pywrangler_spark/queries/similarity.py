@@ -172,3 +172,36 @@ def ann_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             query_filter=F.col("vec_id") % 40 == 0,
         )
     )
+
+
+# ---- per-label embedding centroids (long format) --------------------------
+# posexplode multiplies rows by d=64, but each exploded row is just
+# (label, pos, val) and partial aggregation collapses them to
+# labels x d map-side — the shuffle carries centroids, not vectors.
+# Long output (label, pos, centroid) avoids array-reassembly ordering
+# hazards cross-engine; pos is 1-based to match generate_subscripts.
+
+_CENTROID_ORACLE = """
+SELECT label,
+       pos,
+       ROUND(AVG(CAST(v AS DOUBLE)), 6) AS centroid
+FROM (
+    SELECT label,
+           unnest(embedding) AS v,
+           generate_subscripts(embedding, 1) AS pos
+    FROM embeddings
+)
+GROUP BY label, pos
+"""
+
+
+@register("embedding_label_centroids", oracle=_CENTROID_ORACLE)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean embedding per label, long format — the class-centroid build
+    step for IVF seeding / classifier prototypes."""
+    emb = _emb(spark, sf_dir).select(
+        "label", F.posexplode("embedding").alias("pos0", "v")
+    )
+    return emb.groupBy(
+        "label", (F.col("pos0") + 1).alias("pos")
+    ).agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid"))
