@@ -74,3 +74,46 @@ def column_profile(
         )
 
     return _transform
+
+
+def histogram(
+    column: str,
+    lo: float,
+    hi: float,
+    nbins: int,
+) -> Callable[[DataFrame], DataFrame]:
+    """Fixed-width histogram of a numeric column: rows inside [lo, hi]
+    land in ``floor((x - lo) / width)`` (top edge clamped into the last
+    bin); rows outside the range are dropped. Pure groupBy-count — the
+    shuffle carries ``nbins`` partial rows per task, nothing else. The
+    bin arithmetic is plain IEEE double ops, so any engine reproduces
+    the exact same binning.
+
+    Emits ``bin`` (0-based BIGINT), ``bin_lo``/``bin_hi`` (bin edges,
+    DOUBLE) and ``n_rows``.
+    """
+    if nbins <= 0 or not lo < hi:
+        raise ValueError("histogram requires nbins > 0 and lo < hi")
+    width = (hi - lo) / nbins
+
+    def _transform(df: DataFrame) -> DataFrame:
+        x = F.col(column).cast("double")
+        b = F.least(
+            F.floor((x - F.lit(float(lo))) / F.lit(width)),
+            F.lit(nbins - 1),
+        ).cast("bigint")
+        return (
+            df.where((x >= lo) & (x <= hi))
+            .groupBy(b.alias("bin"))
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .select(
+                "bin",
+                (F.lit(float(lo)) + F.col("bin") * F.lit(width))
+                .alias("bin_lo"),
+                (F.lit(float(lo)) + (F.col("bin") + 1) * F.lit(width))
+                .alias("bin_hi"),
+                "n_rows",
+            )
+        )
+
+    return _transform

@@ -1417,3 +1417,30 @@ def profile_lineitem_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "lineitem").transform(
         column_profile(_PROFILE_COLS)
     )
+
+
+# ---- fixed-width histogram of extended price ------------------------------
+# Bin arithmetic is plain IEEE double ops — identical on any engine; the
+# shuffle carries nbins partial rows per task.
+
+_HIST_ORACLE = """
+SELECT CAST(LEAST(FLOOR((CAST(l_extendedprice AS DOUBLE) - 0.0) / 5000.0),
+                  21) AS BIGINT) AS bin,
+       COUNT(*) AS n_rows
+FROM lineitem
+WHERE CAST(l_extendedprice AS DOUBLE) BETWEEN 0.0 AND 110000.0
+GROUP BY 1
+"""
+
+
+@register("histogram_extendedprice", oracle=_HIST_ORACLE)
+def histogram_extendedprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """22-bin fixed-width histogram of l_extendedprice over [0, 110000]
+    — ``operators.profile.histogram``."""
+    from pywrangler_spark.operators.profile import histogram
+
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .transform(histogram("l_extendedprice", 0.0, 110000.0, 22))
+        .select("bin", "n_rows")
+    )

@@ -47,3 +47,26 @@ class TestColumnProfile:
     def test_validation(self):
         with pytest.raises(ValueError, match="at least one column"):
             column_profile([])
+
+
+class TestHistogram:
+    def test_golden_bins(self, spark):
+        from pywrangler_spark.operators.profile import histogram
+
+        df = spark.createDataFrame(
+            [(0.0,), (4.9,), (5.0,), (9.9,), (10.0,), (-1.0,), (11.0,)],
+            ["x"],
+        )
+        got = {
+            r.bin: (r.bin_lo, r.bin_hi, r.n_rows)
+            for r in df.transform(histogram("x", 0.0, 10.0, 2)).collect()
+        }
+        # -1 and 11 dropped; 10.0 (top edge) clamped into last bin
+        assert got == {0: (0.0, 5.0, 2), 1: (5.0, 10.0, 3)}
+
+    def test_validation(self):
+        from pywrangler_spark.operators.profile import histogram
+
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="nbins"):
+            histogram("x", 1.0, 1.0, 0)
