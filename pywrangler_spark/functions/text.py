@@ -118,3 +118,25 @@ def lang_id(col: Column, langs: Sequence[str] = tuple(LANG_PROFILES)) -> Column:
     for lang in langs:
         expr = expr.when(scores[lang] == best, F.lit(lang))
     return expr
+
+
+# PII / noise scrubbing patterns — RE2- and Java-regex compatible (no
+# lookaround), applied URL -> email -> number so URL digits and email
+# digits are consumed before standalone-number masking. DuckDB twin:
+# regexp_replace(x, pat, repl, 'g') in the same order.
+SCRUB_PATTERNS: Sequence = (
+    (r"https?://\S+", "<URL>"),
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"[0-9]+", "<NUM>"),
+)
+
+
+def scrub_text(col: Column) -> Column:
+    """Mask URLs, emails and numbers with typed placeholder tokens —
+    the standard pre-training text-cleaning pass. Pure chained
+    ``regexp_replace`` (codegen; Java replaces ALL matches by default,
+    mirror with DuckDB's 'g' flag)."""
+    out = col
+    for pat, repl in SCRUB_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out

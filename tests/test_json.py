@@ -49,3 +49,23 @@ class TestExtractJson:
         df = spark.createDataFrame([(1, '{"k": 41}')], ["id", "props"])
         got = df.select(json_field("props", "$.k", "int").alias("k")).first()
         assert got.k == 41
+
+
+class TestScrubText:
+    def test_masks_in_order(self, spark):
+        from pywrangler_spark.functions.text import scrub_text
+
+        df = spark.createDataFrame(
+            [(1, "see https://x.io/a?b=12 or mail bob2@ex.co, room 404")],
+            ["id", "text"],
+        )
+        got = df.select(scrub_text(F.col("text")).alias("t")).first().t
+        assert got == "see <URL> or mail <EMAIL>, room <NUM>"
+
+    def test_noop_on_clean_text(self, spark):
+        from pywrangler_spark.functions.text import scrub_text
+
+        df = spark.createDataFrame([(1, "plain words only")], ["id", "text"])
+        assert df.select(
+            scrub_text(F.col("text")).alias("t")
+        ).first().t == "plain words only"
