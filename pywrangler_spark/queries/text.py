@@ -316,3 +316,48 @@ def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return agg.orderBy(F.desc("occurrences"), "term").limit(200)
+
+
+# ---- sequence packing: documents -> fixed token-budget packs --------------
+# Contiguous-fill packing per shard (operators.pack): pack_id =
+# floor(running-token-total-before / budget) over (shard, doc_id) order.
+# One window per shard = one Exchange; the oracle re-derives the same
+# running sum with a SQL window frame.
+
+_PACK_ORACLE = f"""
+WITH sig AS (
+    SELECT doc_id,
+           doc_id % 4 AS shard,
+           CASE WHEN {_NORM_SQL} = '' THEN 0
+                ELSE len(string_split({_NORM_SQL}, ' ')) END AS n_tokens
+    FROM documents
+), c AS (
+    SELECT *,
+           COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+    FROM sig
+)
+SELECT doc_id,
+       shard,
+       CAST(n_tokens AS BIGINT)                    AS n_tokens,
+       CAST(FLOOR(cb / 512.0) AS BIGINT)           AS pack_id,
+       CAST(cb - FLOOR(cb / 512.0) * 512 AS BIGINT) AS pack_offset
+FROM c
+"""
+
+
+@register("pack_docs_512", oracle=_PACK_ORACLE)
+def pack_docs_512(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into 512-token budget packs within 4 deterministic
+    shards — ``operators.pack.pack_sequences``."""
+    from pywrangler_spark.operators.pack import pack_sequences
+
+    sig = _docs(spark, sf_dir).select(
+        "doc_id",
+        (F.col("doc_id") % 4).alias("shard"),
+        token_count(F.col("text")).alias("n_tokens"),
+    )
+    return sig.transform(
+        pack_sequences("n_tokens", 512, "doc_id", "shard")
+    )
