@@ -464,3 +464,53 @@ def hopping_hourly_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
             slide="30 minutes",
         )
     )
+
+
+# ---- funnel: view -> click -> purchase progression per user ---------------
+# Stage N = min(ts WHERE pred AND ts > stage N-1) — stacked windows on
+# ONE exchange (operators.funnel); the naive decorrelation joins the
+# event log to itself once per stage. The oracle is the same chained
+# window formulation in SQL.
+
+_FUNNEL_ORACLE = """
+WITH s1 AS (
+    SELECT *, MIN(CASE WHEN event_type = 'view' THEN ts END)
+                  OVER (PARTITION BY user_id) AS view_ts
+    FROM events
+), s2 AS (
+    SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > view_ts
+                       THEN ts END)
+                  OVER (PARTITION BY user_id) AS click_ts
+    FROM s1
+), s3 AS (
+    SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > click_ts
+                       THEN ts END)
+                  OVER (PARTITION BY user_id) AS purchase_ts
+    FROM s2
+)
+SELECT user_id,
+       CAST(MIN(view_ts) AS TIMESTAMP)     AS view_ts,
+       CAST(MIN(click_ts) AS TIMESTAMP)    AS click_ts,
+       CAST(MIN(purchase_ts) AS TIMESTAMP) AS purchase_ts
+FROM s3
+GROUP BY user_id
+"""
+
+
+@register("funnel_view_click_purchase", oracle=_FUNNEL_ORACLE)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user funnel: first view, first click after it, first purchase
+    after that — ``operators.funnel.funnel``."""
+    from pywrangler_spark.operators.funnel import funnel
+
+    return _events(spark, sf_dir).transform(
+        funnel(
+            "user_id",
+            "ts",
+            {
+                "view": F.col("event_type") == "view",
+                "click": F.col("event_type") == "click",
+                "purchase": F.col("event_type") == "purchase",
+            },
+        )
+    )
