@@ -514,3 +514,45 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             },
         )
     )
+
+
+# ---- cohort retention: first-touch cohort x week offset -------------------
+# first_ts per user is a window min (one exchange on user_id); the week
+# offset is pure integer micros arithmetic (no calendar-week functions,
+# whose week-start conventions differ across engines). Second exchange
+# is the cohort re-key — inherent to the output grain.
+
+_COHORT_ORACLE = """
+WITH f AS (
+    SELECT user_id, ts,
+           MIN(ts) OVER (PARTITION BY user_id) AS first_ts
+    FROM events
+)
+SELECT CAST(date_trunc('day', first_ts) AS TIMESTAMP) AS cohort_date,
+       CAST(FLOOR(EPOCH(ts - first_ts) / 604800.0) AS BIGINT)
+           AS week_offset,
+       COUNT(DISTINCT user_id) AS n_users
+FROM f
+GROUP BY 1, 2
+"""
+
+
+@register("cohort_weekly_retention", oracle=_COHORT_ORACLE)
+def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct active users per (first-event cohort day, weeks since
+    first event) — the retention-triangle build."""
+    ev = _events(spark, sf_dir).select("user_id", "ts")
+    from pyspark.sql import Window
+
+    first = F.min("ts").over(Window.partitionBy("user_id"))
+    enriched = ev.select(
+        "user_id",
+        F.date_trunc("DAY", first).alias("cohort_date"),
+        F.floor(
+            (F.unix_micros(F.col("ts")) - F.unix_micros(first))
+            / F.lit(604800.0 * 1_000_000)
+        ).cast("bigint").alias("week_offset"),
+    )
+    return enriched.groupBy("cohort_date", "week_offset").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
