@@ -112,3 +112,39 @@ def hot_keys(
             vals = tuple(r[k] for k in keys)
             out.append(vals if len(keys) > 1 else vals[0])
     return out
+
+
+def left_join_null_bypass(
+    right: DataFrame,
+    on: Union[str, Sequence[str]],
+) -> Callable[[DataFrame], DataFrame]:
+    """LEFT equi-join that routes null-keyed left rows AROUND the
+    shuffle. A null join key can never match, but a plain left join
+    still hash-partitions those rows — and nulls all hash to the SAME
+    partition, so a nullable key at 100 TB means one reducer holding
+    every null row (the single worst skew key there is). Here the null
+    slice short-circuits scan-side: it gets the right columns as typed
+    NULLs and re-enters via union AFTER the join, never touching an
+    exchange. Output == plain ``left.join(right, on, "left")`` up to
+    row order.
+
+    ``orders.transform(left_join_null_bypass(customer, "o_custkey"))``
+    """
+    keys = list(ensure_iterable(on))
+    if not keys:
+        raise ValueError("left_join_null_bypass requires join keys")
+
+    def _transform(left: DataFrame) -> DataFrame:
+        null_pred = F.lit(False)
+        for k in keys:
+            null_pred = null_pred | F.col(k).isNull()
+        matched = left.where(~null_pred).join(right, keys, "left")
+        bypass = left.where(null_pred)
+        extra = [f for f in right.schema.fields if f.name not in left.columns]
+        for f in extra:
+            bypass = bypass.withColumn(
+                f.name, F.lit(None).cast(f.dataType)
+            )
+        return matched.unionByName(bypass.select(matched.columns))
+
+    return _transform

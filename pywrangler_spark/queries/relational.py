@@ -1444,3 +1444,47 @@ def histogram_extendedprice(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(histogram("l_extendedprice", 0.0, 110000.0, 22))
         .select("bin", "n_rows")
     )
+
+
+# ---- null-skew-safe left join ---------------------------------------------
+# Keys nullified deterministically (custkey % 50 == 0) to model a
+# nullable FK; the operator routes the null slice around the shuffle
+# (nulls all hash to ONE partition in a plain left join — the worst
+# skew key at scale). The oracle is the plain LEFT JOIN: same rows,
+# different physical route.
+
+_NULLJOIN_ORACLE = """
+SELECT c.c_mktsegment AS segment,
+       COUNT(*)        AS n_orders,
+       COUNT(c.c_name) AS n_matched
+FROM (
+    SELECT CASE WHEN o_custkey % 50 = 0 THEN NULL
+                ELSE o_custkey END AS k
+    FROM orders
+) o
+LEFT JOIN customer c ON o.k = c.c_custkey
+GROUP BY 1
+"""
+
+
+@register("nullsafe_join_segments", oracle=_NULLJOIN_ORACLE)
+def nullsafe_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left join with a nullable FK via the null-bypass route —
+    ``operators.skew.left_join_null_bypass``."""
+    from pywrangler_spark.operators.skew import left_join_null_bypass
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.when(F.col("o_custkey") % 50 == 0, None)
+        .otherwise(F.col("o_custkey"))
+        .alias("k")
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), "c_name", "c_mktsegment"
+    )
+    joined = orders.transform(left_join_null_bypass(cust, "k"))
+    return joined.groupBy(
+        F.col("c_mktsegment").alias("segment")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count("c_name").alias("n_matched"),
+    )
