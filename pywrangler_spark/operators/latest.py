@@ -115,3 +115,36 @@ def drop_unchanged(
         )
 
     return _transform
+
+
+def apply_changelog(
+    changes: DataFrame,
+    key_columns: Union[str, Sequence[str]],
+    order_column: str,
+    tiebreak_columns: Union[str, Sequence[str]] = (),
+    delete_column: str | None = None,
+) -> Callable[[DataFrame], DataFrame]:
+    """CDC merge: apply a change batch onto a snapshot — per key the
+    newest row (snapshot or change) wins, and if ``delete_column``
+    names a boolean tombstone flag, keys whose WINNING row is a
+    tombstone drop out entirely. ``snapshot.transform(apply_changelog(
+    batch, "id", "version", delete_column="is_deleted"))``.
+
+    Union + one ``latest_by_key`` shuffle — the merge never joins
+    snapshot to batch (a join-based upsert shuffles both sides AND
+    breaks on keys new to either side); the tombstone filter runs on
+    the compacted one-row-per-key output, so it is free.
+    """
+
+    def _transform(snapshot: DataFrame) -> DataFrame:
+        merged = snapshot.unionByName(changes)
+        out = merged.transform(
+            latest_by_key(key_columns, order_column, tiebreak_columns)
+        )
+        if delete_column is not None:
+            out = out.where(
+                ~F.coalesce(F.col(delete_column), F.lit(False))
+            )
+        return out
+
+    return _transform

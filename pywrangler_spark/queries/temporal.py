@@ -556,3 +556,47 @@ def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enriched.groupBy("cohort_date", "week_offset").agg(
         F.countDistinct("user_id").alias("n_users")
     )
+
+
+# ---- CDC merge: snapshot + change batch + tombstones ----------------------
+# Snapshot = compacted first half of the month, batch = the rest; a key
+# whose winning row is an 'error' event is tombstoned out. Equivalent to
+# compacting the whole log then dropping tombstoned keys — which is
+# exactly what the oracle does, independently, with a window.
+
+_CDC_ORACLE = """
+SELECT event_id,
+       CAST(ts AS TIMESTAMP) AS ts,
+       user_id,
+       event_type,
+       "value",
+       (event_type = 'error') AS dead
+FROM (
+    SELECT *,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+)
+WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
+@register("cdc_upsert_events", oracle=_CDC_ORACLE)
+def cdc_upsert_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a change batch (with delete tombstones) onto a compacted
+    snapshot — ``operators.latest.apply_changelog``."""
+    from pywrangler_spark.operators.latest import apply_changelog, latest_by_key
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value",
+        (F.col("event_type") == "error").alias("dead"),
+    )
+    cutoff = F.lit("2024-01-16").cast("timestamp")
+    snapshot = ev.where(F.col("ts") < cutoff).transform(
+        latest_by_key("user_id", "ts", "event_id")
+    )
+    batch = ev.where(F.col("ts") >= cutoff)
+    return snapshot.transform(
+        apply_changelog(batch, "user_id", "ts", "event_id",
+                        delete_column="dead")
+    )

@@ -142,3 +142,36 @@ class TestDropUnchanged:
         df = spark.createDataFrame([("a", 1, "x")], ["k", "ts", "val"])
         out = df.transform(drop_unchanged("k", "ts", ["val"]))
         assert count_exchanges(out) == 1
+
+
+class TestApplyChangelog:
+    def test_upsert_insert_delete(self, spark):
+        from pywrangler_spark.operators.latest import apply_changelog
+
+        snap = spark.createDataFrame(
+            [("a", 1, "A1", False), ("b", 1, "B1", False),
+             ("c", 1, "C1", False)],
+            ["k", "v", "val", "dead"],
+        )
+        batch = spark.createDataFrame(
+            [("a", 2, "A2", False),   # update
+             ("d", 1, "D1", False),   # insert
+             ("b", 2, None, True),    # delete tombstone
+             ("c", 0, "C0", False)],  # stale change: loses to snapshot
+            ["k", "v", "val", "dead"],
+        )
+        out = snap.transform(
+            apply_changelog(batch, "k", "v", delete_column="dead")
+        )
+        got = {r.k: (r.v, r.val) for r in out.collect()}
+        assert got == {"a": (2, "A2"), "c": (1, "C1"), "d": (1, "D1")}
+
+    def test_resurrection(self, spark):
+        from pywrangler_spark.operators.latest import apply_changelog
+
+        snap = spark.createDataFrame([("a", 1, True)], ["k", "v", "dead"])
+        batch = spark.createDataFrame([("a", 2, False)], ["k", "v", "dead"])
+        out = snap.transform(
+            apply_changelog(batch, "k", "v", delete_column="dead")
+        )
+        assert [(r.k, r.v) for r in out.collect()] == [("a", 2)]
