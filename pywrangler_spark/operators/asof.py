@@ -177,3 +177,44 @@ def time_bucket_rollup(
 
     _transform.__name__ = "time_bucket_rollup"
     return _transform
+
+
+def ohlc_bars(
+    ts_column: str,
+    value_column: str,
+    bucket: str,
+    groupby_columns: Union[str, Sequence[str]] = (),
+    tiebreak_columns: Union[str, Sequence[str]] = (),
+) -> Callable[[DataFrame], DataFrame]:
+    """Open/high/low/close bars per time bucket (and optional groups):
+    open = value at the bucket's earliest row, close at its latest
+    (``min_by``/``max_by`` on a (ts, tiebreaks) struct — deterministic
+    under equal timestamps), high/low = plain max/min. ONE aggregation,
+    map-side partials — each shuffle row is a bucket's 4-number partial
+    state, never the ticks. The window-rank formulation shuffles every
+    tick and sorts per bucket; at 100 TB of market data that is the
+    whole cost of the query.
+    """
+    groups = list(ensure_iterable(groupby_columns))
+    ties = list(ensure_iterable(tiebreak_columns))
+
+    def _transform(df: DataFrame) -> DataFrame:
+        order = F.struct(F.col(ts_column),
+                         *[F.col(c) for c in ties])
+        v = F.col(value_column)
+        out = df.groupBy(
+            F.window(F.col(ts_column), bucket).alias("__b"), *groups
+        ).agg(
+            F.min_by(v, order).alias("open"),
+            F.max(v).alias("high"),
+            F.min(v).alias("low"),
+            F.max_by(v, order).alias("close"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+        return out.select(
+            F.col("__b.start").alias("bucket_start"), *groups,
+            "open", "high", "low", "close", "n_ticks",
+        )
+
+    _transform.__name__ = "ohlc_bars"
+    return _transform

@@ -600,3 +600,48 @@ def cdc_upsert_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         apply_changelog(batch, "user_id", "ts", "event_id",
                         delete_column="dead")
     )
+
+
+# ---- OHLC bars: hourly open/high/low/close per event type -----------------
+# ONE aggregation with min_by/max_by partials (each shuffle row is a
+# bucket's 4-number state); the oracle takes the window-rank route — the
+# formulation the operator deliberately avoids — so agreement pins the
+# argmin/argmax semantics including the event_id tiebreak.
+
+_OHLC_ORACLE = """
+WITH t AS (
+    SELECT event_type, event_id, "value", ts,
+           time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP))
+               AS bucket_start
+    FROM events
+), r AS (
+    SELECT *,
+           ROW_NUMBER() OVER (PARTITION BY bucket_start, event_type
+                              ORDER BY ts, event_id)           AS rn_a,
+           ROW_NUMBER() OVER (PARTITION BY bucket_start, event_type
+                              ORDER BY ts DESC, event_id DESC) AS rn_d
+    FROM t
+)
+SELECT bucket_start,
+       event_type,
+       MIN(CASE WHEN rn_a = 1 THEN "value" END) AS open,
+       MAX("value")                             AS high,
+       MIN("value")                             AS low,
+       MIN(CASE WHEN rn_d = 1 THEN "value" END) AS close,
+       COUNT(*)                                 AS n_ticks
+FROM r
+GROUP BY 1, 2
+"""
+
+
+@register("ohlc_hourly_by_type", oracle=_OHLC_ORACLE)
+def ohlc_hourly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars of event value per event_type —
+    ``operators.asof.ohlc_bars``."""
+    from pywrangler_spark.operators.asof import ohlc_bars
+
+    return _events(spark, sf_dir).transform(
+        ohlc_bars("ts", "value", "1 hour",
+                  groupby_columns="event_type",
+                  tiebreak_columns="event_id")
+    )

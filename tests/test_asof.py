@@ -236,3 +236,40 @@ class TestHoppingBucket:
         got = {r.bucket_start.strftime("%H:%M"): r.s for r in out}
         # 00:10 -> windows starting 23:30, 00:00; 00:40 -> 00:00, 00:30
         assert got == {"23:30": 1.0, "00:00": 3.0, "00:30": 2.0}
+
+
+class TestOhlcBars:
+    def test_golden(self, spark):
+        from datetime import datetime
+
+        from pywrangler_spark.operators.asof import ohlc_bars
+
+        rows = [
+            (datetime(2024, 1, 1, 0, 5), 10.0, 1),
+            (datetime(2024, 1, 1, 0, 20), 30.0, 2),
+            (datetime(2024, 1, 1, 0, 40), 5.0, 3),
+            (datetime(2024, 1, 1, 0, 55), 20.0, 4),
+            (datetime(2024, 1, 1, 1, 10), 7.0, 5),
+        ]
+        df = spark.createDataFrame(rows, ["ts", "v", "id"])
+        got = {
+            r.bucket_start.hour: (r.open, r.high, r.low, r.close, r.n_ticks)
+            for r in df.transform(
+                ohlc_bars("ts", "v", "1 hour", tiebreak_columns="id")
+            ).collect()
+        }
+        assert got == {0: (10.0, 30.0, 5.0, 20.0, 4), 1: (7.0, 7.0, 7.0, 7.0, 1)}
+
+    def test_tie_determinism(self, spark):
+        from datetime import datetime
+
+        from pywrangler_spark.operators.asof import ohlc_bars
+
+        t = datetime(2024, 1, 1, 0, 0)
+        rows = [(t, float(i), i) for i in range(10)]
+        df = spark.createDataFrame(rows, ["ts", "v", "id"])
+        for _ in range(3):
+            r = df.repartition(5).transform(
+                ohlc_bars("ts", "v", "1 hour", tiebreak_columns="id")
+            ).first()
+            assert (r.open, r.close) == (0.0, 9.0)
