@@ -645,3 +645,96 @@ def ohlc_hourly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
                   groupby_columns="event_type",
                   tiebreak_columns="event_id")
     )
+
+
+# ---- time-weighted average value per user ---------------------------------
+# Sensor/financial staple: each observation holds until the next one, so
+# the mean weights each value by its holding duration (lead window; the
+# final observation has no duration and drops out). Micros-integer
+# weights — engine-identical; the weighted sums accumulate in
+# DECIMAL(38,6) so the cross-engine result is order-independent.
+
+_TWA_ORACLE = """
+WITH d AS (
+    SELECT user_id, "value",
+           EPOCH_US(lead(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id)
+                    - ts) AS dt_us
+    FROM events
+)
+SELECT user_id,
+       ROUND(CAST(SUM(CAST("value" * dt_us AS DECIMAL(38,6))) AS DOUBLE)
+             / SUM(dt_us), 6) AS twa_value,
+       CAST(SUM(dt_us) AS BIGINT) AS span_us
+FROM d
+WHERE dt_us IS NOT NULL
+GROUP BY user_id
+"""
+
+
+@register("twa_user_value", oracle=_TWA_ORACLE)
+def twa_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duration-weighted mean of value per user (last-observation-
+    carried-forward weighting)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = _events(spark, sf_dir).select(
+        "user_id",
+        "value",
+        (F.unix_micros(F.lead("ts").over(w))
+         - F.unix_micros(F.col("ts"))).alias("dt_us"),
+    ).where(F.col("dt_us").isNotNull())
+    return d.groupBy("user_id").agg(
+        F.round(
+            F.sum((F.col("value") * F.col("dt_us"))
+                  .cast("decimal(38,6)")).cast("double")
+            / F.sum("dt_us"),
+            6,
+        ).alias("twa_value"),
+        F.sum("dt_us").cast("bigint").alias("span_us"),
+    )
+
+
+# ---- user journeys: ordered event-type sequences --------------------------
+# collect_list is unordered by contract — the struct array is sorted
+# AFTER collection (array_sort on (ts, event_id)), which is the only
+# deterministic way to build sequences in a distributed agg. The oracle
+# uses DuckDB's ordered string_agg, an independent mechanism.
+
+_JOURNEY_ORACLE = """
+WITH j AS (
+    SELECT user_id,
+           string_agg(substr(event_type, 1, 1), '>'
+                      ORDER BY ts, event_id) AS journey
+    FROM events
+    GROUP BY user_id
+)
+SELECT substr(journey, 1, 9) AS journey_prefix,
+       COUNT(*)              AS n_users
+FROM j
+GROUP BY 1
+"""
+
+
+@register("journey_prefix_counts", oracle=_JOURNEY_ORACLE)
+def journey_prefix_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count users per first-5-event journey signature (initials joined
+    with '>'), e.g. 'v>c>v>e>p'."""
+    seq = _events(spark, sf_dir).groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct("ts", "event_id",
+                         F.substring("event_type", 1, 1).alias("t"))
+            )
+        ).alias("evs")
+    )
+    journey = seq.select(
+        F.substring(
+            F.array_join(F.transform("evs", lambda x: x["t"]), ">"),
+            1, 9,
+        ).alias("journey_prefix")
+    )
+    return journey.groupBy("journey_prefix").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
