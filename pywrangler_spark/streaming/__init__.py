@@ -2,6 +2,7 @@
 
 from pywrangler_spark.streaming.dedup import stream_dedup_exact
 from pywrangler_spark.streaming.interval import stream_identify_intervals
+from pywrangler_spark.streaming.join import stream_interval_join
 from pywrangler_spark.streaming.rollup import stream_time_bucket_rollup
 from pywrangler_spark.streaming.sessionize import stream_session_stats
 
@@ -10,4 +11,5 @@ __all__ = [
     "stream_identify_intervals",
     "stream_time_bucket_rollup",
     "stream_dedup_exact",
+    "stream_interval_join",
 ]

@@ -257,3 +257,58 @@ class TestStreamingDedup:
 
         with pytest.raises(ValueError, match="at least one key"):
             stream_dedup_exact([], "ts")
+
+
+class TestStreamStreamJoin:
+    def test_matches_batch_pairs(self, spark, events_stream_dir):
+        from pywrangler_spark.streaming import stream_interval_join
+
+        ev = read_parquet(spark, f"{SF}/events.parquet")
+        clicks_b = ev.where(F.col("event_type") == "click").select(
+            "user_id", F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"))
+        buys_b = ev.where(F.col("event_type") == "purchase").select(
+            "user_id", F.col("ts").alias("buy_ts"),
+            F.col("event_id").alias("buy_id"))
+        # batch twin: the same transform applied to batch frames
+        tf = lambda buys: stream_interval_join(  # noqa: E731
+            buys, "user_id", "click_ts", "buy_ts",
+            before="0 seconds", after="2 hours", watermark="4 hours")
+        batch = clicks_b.transform(
+            lambda df: df.join(
+                buys_b,
+                (df.user_id == buys_b.user_id)
+                & (F.col("buy_ts") >= F.col("click_ts"))
+                & (F.col("buy_ts") <= F.col("click_ts")
+                   + F.expr("INTERVAL 2 HOURS")),
+                "inner",
+            ).select(df.user_id, "click_ts", "click_id", "buy_ts", "buy_id")
+        )
+
+        sdf = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(events_stream_dir)
+        )
+        s_clicks = sdf.where(F.col("event_type") == "click").select(
+            "user_id", F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"))
+        s_buys = sdf.where(F.col("event_type") == "purchase").select(
+            "user_id", F.col("ts").alias("buy_ts"),
+            F.col("event_id").alias("buy_id"))
+        q = (
+            s_clicks.transform(tf(s_buys))
+            .writeStream.format("memory")
+            .queryName("ssj_sink")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        streamed = spark.table("ssj_sink")
+
+        key = lambda r: (r.click_id, r.buy_id)  # noqa: E731
+        b = {key(r) for r in batch.collect()}
+        s = {key(r) for r in streamed.collect()}
+        assert s <= b           # nothing invented
+        assert len(s) >= 0.9 * len(b)  # near-complete within watermark
