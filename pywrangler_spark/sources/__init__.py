@@ -5,6 +5,7 @@ from pywrangler_spark.sources.formats import (
     read_csv,
     read_json,
     read_orc,
+    write_clustered_parquet,
     write_table,
 )
 from pywrangler_spark.sources.parquet import (
@@ -23,6 +24,7 @@ __all__ = [
     "read_json",
     "read_orc",
     "write_table",
+    "write_clustered_parquet",
     "write_bucketed_table",
     "read_table",
 ]

@@ -368,3 +368,32 @@ class TestInt8Quantization:
             int8_dot(F.col("a"), F.col("b")).alias("d")
         ).first().d
         assert got == 127 * 127 - 127 * 127 + 10
+
+
+class TestClusteredWrite:
+    def test_files_are_disjoint_ranges(self, spark, tmp_path):
+        import glob
+        import os
+
+        from pywrangler_spark.sources import write_clustered_parquet
+
+        df = spark.range(0, 10_000).selectExpr(
+            "id AS k", "CAST(id % 7 AS DOUBLE) AS v"
+        ).repartition(8)  # scrambled input
+        path = str(tmp_path / "clustered")
+        write_clustered_parquet(df, path, ["k"], n_files=4)
+
+        files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        assert len(files) == 4
+        ranges = []
+        for f in files:
+            mm = spark.read.parquet(f).selectExpr(
+                "min(k) AS lo", "max(k) AS hi"
+            ).first()
+            ranges.append((mm.lo, mm.hi))
+        ranges.sort()
+        # disjoint, ordered ranges -> min/max footer stats can skip files
+        for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+            assert hi1 < lo2
+        # full key span covered
+        assert ranges[0][0] == 0 and ranges[-1][1] == 9999
