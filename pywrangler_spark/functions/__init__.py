@@ -2,6 +2,11 @@
 compositions — JVM-side, codegen'd, no Python UDFs)."""
 
 from pywrangler_spark.functions.hashing import hash56, hash28
+from pywrangler_spark.functions.temporal import (
+    as_timestamp,
+    epoch_micros,
+    epoch_seconds,
+)
 from pywrangler_spark.functions.text import (
     bpe_token_count,
     fingerprint,
@@ -21,6 +26,9 @@ from pywrangler_spark.functions.vectors import (
 __all__ = [
     "hash56",
     "hash28",
+    "as_timestamp",
+    "epoch_micros",
+    "epoch_seconds",
     "normalize_text",
     "fingerprint",
     "words",

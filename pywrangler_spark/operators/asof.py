@@ -33,6 +33,7 @@ from typing import Callable, Optional, Sequence, Union
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from pywrangler_spark.functions.temporal import epoch_seconds
 from pywrangler_spark.util import ensure_iterable
 
 _SIDE = "__asof_side"
@@ -129,7 +130,8 @@ def asof_join(
 
         m = F.col("__m")
         if tolerance_seconds is not None:
-            gap = F.col(left_ts).cast("double") - m[_RTS_FIELD].cast("double")
+            # epoch_seconds, not cast("double"): NTZ-safe
+            gap = epoch_seconds(left_ts) - epoch_seconds(m[_RTS_FIELD])
             if direction == "forward":
                 gap = -gap
             m = F.when(gap <= F.lit(float(tolerance_seconds)), m)

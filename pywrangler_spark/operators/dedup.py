@@ -47,7 +47,12 @@ def _scale_out(df: DataFrame) -> DataFrame:
     single-file corpus runs them on one core. No-op when the scan already
     has enough splits (the 100 TB case)."""
     target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    if df.rdd.getNumPartitions() < target:
+    # inputFiles() is driver-side metadata (no job, no RDD conversion, works
+    # under Spark Connect). It undercounts splits for large splittable files,
+    # but the guard only needs to catch the few-files case; a many-split scan
+    # reports many files and skips the repartition either way.
+    n_inputs = len(df.inputFiles())
+    if n_inputs < target:
         return df.repartition(target)
     return df
 
@@ -190,9 +195,21 @@ def minhash_lsh_pairs(
                 id_column, text_column, num_hashes, shingle_k, seed
             )
         )
+        # consumed three times below (banding + two scoring joins): persist
+        # so shingling+minhash runs once. The signature table is tiny next
+        # to the corpus (id + num_hashes longs per doc); memory-and-disk,
+        # LRU-evicted after the query.
+        from pyspark import StorageLevel
+
+        sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+        # The candidate stream shuffles IDS ONLY: the band self-join and the
+        # pair dedup move (band, bh, id) rows — 8-byte ids, never the
+        # num_hashes-long signatures. Signatures are joined back AFTER the
+        # dedup, keyed by id, for scoring. At 100 TB the candidate exchange
+        # dominates; carrying 16 longs per row through it would multiply the
+        # shuffle ~9×. (Same discipline as similarity.topk_cosine_lsh.)
         band_rows = sigs.select(
             "_id",
-            "_sig",
             F.explode(
                 F.array(
                     *[
@@ -208,26 +225,23 @@ def minhash_lsh_pairs(
                     ]
                 )
             ).alias("b"),
-        ).select("_id", "_sig", "b.band", "b.bh")
+        ).select("_id", "b.band", "b.bh")
 
-        left = band_rows.select(
-            F.col("_id").alias("id_a"),
-            F.col("_sig").alias("sig_a"),
-            "band",
-            "bh",
-        )
-        right = band_rows.select(
-            F.col("_id").alias("id_b"),
-            F.col("_sig").alias("sig_b"),
-            "band",
-            "bh",
-        )
+        left = band_rows.select(F.col("_id").alias("id_a"), "band", "bh")
+        right = band_rows.select(F.col("_id").alias("id_b"), "band", "bh")
         pairs = (
             left.join(right, ["band", "bh"])
             .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", "sig_a", "sig_b")
+            .select("id_a", "id_b")
             .dropDuplicates(["id_a", "id_b"])
         )
+        sig_a = sigs.select(
+            F.col("_id").alias("id_a"), F.col("_sig").alias("sig_a")
+        )
+        sig_b = sigs.select(
+            F.col("_id").alias("id_b"), F.col("_sig").alias("sig_b")
+        )
+        scored = pairs.join(sig_a, "id_a").join(sig_b, "id_b")
         sim = (
             F.size(
                 F.filter(
@@ -238,7 +252,7 @@ def minhash_lsh_pairs(
             / F.lit(float(num_hashes))
         ).alias("sig_similarity")
         return (
-            pairs.select("id_a", "id_b", sim)
+            scored.select("id_a", "id_b", sim)
             .filter(F.col("sig_similarity") >= min_signature_similarity)
         )
 

@@ -40,8 +40,9 @@ from typing import Callable, Optional, Sequence, Union
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import NumericType, TimestampType
+from pyspark.sql.types import NumericType, TimestampNTZType, TimestampType
 
+from pywrangler_spark.functions.temporal import epoch_micros
 from pywrangler_spark.util import ensure_iterable
 
 _BUCKET = "__rj_bucket"
@@ -56,8 +57,8 @@ def _epoch_micros(df: DataFrame, column: str) -> Column:
     """Column as an exact ``bigint`` count of microseconds (timestamps) or
     micro-units (numerics) — integer bucket arithmetic, no float edges."""
     dtype = df.schema[column].dataType
-    if isinstance(dtype, TimestampType):
-        return F.unix_micros(F.col(column))
+    if isinstance(dtype, (TimestampType, TimestampNTZType)):
+        return epoch_micros(column)
     if isinstance(dtype, NumericType):
         return (F.col(column).cast("decimal(30,6)") * 1_000_000).cast("long")
     raise TypeError(

@@ -17,6 +17,7 @@ from typing import Callable, Optional, Sequence, Union
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from pywrangler_spark.functions.temporal import epoch_seconds
 from pywrangler_spark.util import ensure_iterable
 
 
@@ -35,7 +36,8 @@ def sessionize_gap(
     def _transform(df: DataFrame) -> DataFrame:
         w = Window.partitionBy(*groups).orderBy(F.col(ts_column).asc())
         prev_ts = F.lag(ts_column, 1).over(w)
-        gap = F.col(ts_column).cast("double") - prev_ts.cast("double")
+        # epoch_seconds, not cast("double"): NTZ-safe (see functions.temporal)
+        gap = epoch_seconds(ts_column) - epoch_seconds(prev_ts)
         boundary = F.when(
             prev_ts.isNull() | (gap > F.lit(float(gap_seconds))), 1
         ).otherwise(0)

@@ -25,6 +25,7 @@ from typing import Callable, List, Sequence, Union
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pywrangler_spark.functions.temporal import epoch_micros
 from pywrangler_spark.util import ensure_iterable
 
 
@@ -52,7 +53,7 @@ def group_trend(
     def _transform(df: DataFrame) -> DataFrame:
         x = F.col(x_column)
         if "timestamp" in df.schema[x_column].dataType.simpleString():
-            x = F.unix_micros(x) / 1_000_000.0
+            x = epoch_micros(x) / 1_000_000.0  # NTZ-safe
         y = F.col(y_column).cast("double")
         return df.groupBy(*groups).agg(
             F.round(F.regr_slope(y, x), slope_digits).alias("slope"),
@@ -83,7 +84,7 @@ def group_trend_pandas(
     def _transform(df: DataFrame) -> DataFrame:
         x = F.col(x_column)
         if "timestamp" in df.schema[x_column].dataType.simpleString():
-            x = F.unix_micros(x) / 1_000_000.0
+            x = epoch_micros(x) / 1_000_000.0  # NTZ-safe
         prepared = df.select(
             *groups, x.alias("_x"), F.col(y_column).cast("double").alias("_y")
         )

@@ -27,6 +27,7 @@ import time
 from typing import Any, Callable, Dict, List, Optional, Union
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from pywrangler_spark.base import BaseWrangler
 from pywrangler_spark.plans.inspect import count_exchanges
@@ -239,13 +240,22 @@ class Pipeline:
             t0 = time.perf_counter()
             rows = df.count()
             elapsed = time.perf_counter() - t0
+            # non-empty output partitions via spark_partition_id — public
+            # DataFrame API only (no .rdd, Connect-compatible); runs inside
+            # the profiling pass which is already action-driven
+            n_parts = (
+                df.select(
+                    F.spark_partition_id().alias("_pid")
+                ).agg((F.max("_pid") + F.lit(1)).alias("n")).first()["n"]
+                or 0
+            )
             out.append(
                 {
                     "idx": i,
                     "name": s.name,
                     "rows": rows,
                     "seconds": round(elapsed, 4),
-                    "partitions": df.rdd.getNumPartitions(),
+                    "partitions": n_parts,
                     "exchanges": count_exchanges(df),
                     "cached": self.cacher.is_enabled(i),
                 }

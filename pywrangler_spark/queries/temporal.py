@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pywrangler_spark.functions.temporal import epoch_micros
 from pywrangler_spark.operators.asof import asof_join, time_bucket_rollup
 from pywrangler_spark.operators.rangejoin import interval_join, range_join
 from pywrangler_spark.queries import register
@@ -216,7 +217,7 @@ def rolling_7d_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     ev = _events(spark, sf_dir).select("event_id", "user_id", "ts", "value")
-    micros = F.unix_micros(F.col("ts"))
+    micros = epoch_micros("ts")
     seven_days = 7 * 24 * 3600 * 1_000_000
     w = (
         Window.partitionBy("user_id")
@@ -549,7 +550,7 @@ def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.date_trunc("DAY", first).alias("cohort_date"),
         F.floor(
-            (F.unix_micros(F.col("ts")) - F.unix_micros(first))
+            (epoch_micros("ts") - epoch_micros(first))
             / F.lit(604800.0 * 1_000_000)
         ).cast("bigint").alias("week_offset"),
     )
@@ -682,8 +683,8 @@ def twa_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _events(spark, sf_dir).select(
         "user_id",
         "value",
-        (F.unix_micros(F.lead("ts").over(w))
-         - F.unix_micros(F.col("ts"))).alias("dt_us"),
+        (epoch_micros(F.lead("ts").over(w))
+         - epoch_micros("ts")).alias("dt_us"),
     ).where(F.col("dt_us").isNotNull())
     return d.groupBy("user_id").agg(
         F.round(

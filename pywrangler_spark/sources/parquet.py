@@ -57,23 +57,39 @@ def _nano_timestamp_columns(path: str) -> list:
 
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
-    """``spark.read.parquet`` + restore TIMESTAMP(NANOS) columns to
-    TimestampType (microsecond precision, Spark's native resolution)."""
+    """``spark.read.parquet`` + normalize every timestamp flavor to plain
+    ``TimestampType`` (microsecond precision, Spark's native resolution).
+
+    Two parquet quirks are handled here so no downstream operator ever sees
+    them:
+
+    - ``TIMESTAMP(NANOS)`` (pandas default ``datetime64[ns]``): rejected by
+      the vectorized reader; read as raw longs via ``nanosAsLong`` and
+      restored with ``timestamp_micros``.
+    - naive ``timestamp[us]`` (no timezone): Spark's default
+      ``inferTimestampNTZ.enabled=true`` reads these as TIMESTAMP_NTZ,
+      which rejects ``cast(as double)`` / ``unix_micros``. Disabling the
+      inference makes the scan itself produce TimestampType (no extra
+      projection, pushdown untouched); any NTZ column that still appears
+      (e.g. schema merge) is cast — valid under the UTC session TZ.
+    """
     # runtime-settable; makes this reader work on externally-created sessions
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # parquet nanos are wall-clock-naive; interpret as UTC so the restored
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    # parquet naive timestamps are wall-clock; interpret as UTC so the
     # TimestampType round-trips the stored wall time under any host TZ
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(path)
     nanos = set(_nano_timestamp_columns(path))
-    if not nanos:
+    ntz = {f.name for f in df.schema.fields if f.dataType.typeName() == "timestamp_ntz"}
+    if not nanos and not ntz:
         return df
     # integer `div`, not `/`: nano epochs (~1.7e18) exceed double's exact
     # integer range, so float division would corrupt the microseconds
     exprs = [
         F.timestamp_micros(F.expr(f"`{c}` div 1000")).alias(c)
         if c in nanos
-        else F.col(c)
+        else (F.col(c).cast("timestamp").alias(c) if c in ntz else F.col(c))
         for c in df.columns
     ]
     return df.select(*exprs)

@@ -92,6 +92,36 @@ class TestDedup:
         for doc_id in range(3):
             assert rows.get(doc_id) == 1.0
 
+    def test_minhash_band_join_shuffles_ids_only(self, spark, docs):
+        """The LSH candidate exchanges (hash-partitioned by band/bh, and the
+        pair dedup by id_a/id_b) must NOT carry the minhash signatures —
+        at 100 TB the candidate shuffle dominates, and 16 longs per row
+        would multiply it ~9×. Signatures join back after the dedup."""
+        from pywrangler_spark.plans.inspect import explain_string
+
+        plan = explain_string(
+            docs.transform(minhash_lsh_pairs("doc_id", "text"))
+        )
+        # formatted-plan detail blocks: "(n) Exchange\nInput [k]: [...]\n
+        # Arguments: hashpartitioning(...)". The band join may plan as a
+        # broadcast (small side) or a shuffled equi-join depending on
+        # stats — in EITHER case the candidate-stream exchanges must carry
+        # only (id, band, bh), never a signature array.
+        blocks = plan.split("\n\n")
+        # candidate stream = anything keyed/carrying the band hash, plus
+        # the pair-dedup shuffle. (The later scoring join legitimately
+        # broadcasts the id→signature table; it is keyed by a single id
+        # and never touches band/bh.)
+        candidate_exchanges = [
+            b
+            for b in blocks
+            if ("Exchange" in b.split("\n", 1)[0])
+            and ("band" in b or "hashpartitioning(id_a" in b)
+        ]
+        assert candidate_exchanges, plan
+        for block in candidate_exchanges:
+            assert "sig" not in block, block
+
     def test_simhash_identical_docs_equal(self, spark, docs):
         planted = docs.filter(F.col("doc_id") < 3).withColumn(
             "doc_id", F.col("doc_id") + 10_000
