@@ -144,6 +144,7 @@ def topk_cosine_lsh(
     seed: int = 42,
     query_filter: Optional[Column] = None,
     multiprobe: bool = True,
+    dim: Optional[int] = None,
 ) -> Callable[[DataFrame], DataFrame]:
     """Approximate top-k cosine neighbours via random-hyperplane LSH.
 
@@ -154,12 +155,19 @@ def topk_cosine_lsh(
     n_tables × (planes+1) × bucket size instead of the full corpus.
     Output schema matches :func:`topk_cosine`; recall is validated against
     it in the test suite.
+
+    Pass ``dim`` (the embedding width — a schema-level fact the caller
+    knows) so plan construction is purely declarative. When omitted, a
+    one-row metadata probe runs at build time — fine interactively, but a
+    driver-side action a production pipeline should avoid.
     """
 
     def _transform(df: DataFrame) -> DataFrame:
-        dim = len(df.select(vector_column).first()[0])
+        d = dim if dim is not None else len(
+            df.select(vector_column).first()[0]
+        )
         tables = [
-            hyperplanes(n_planes, dim, seed + 1000 * t)
+            hyperplanes(n_planes, d, seed + 1000 * t)
             for t in range(n_tables)
         ]
 
@@ -300,14 +308,19 @@ def train_ivf_centroids(
     seed: int = 42,
     sample_fraction: Optional[float] = None,
     max_iter: int = 8,
+    max_fit_rows: int = 100_000,
 ) -> np.ndarray:
-    """Train the IVF coarse quantizer: distributed MLlib k-means over the
-    (optionally sampled) corpus, returning **unit-normalized** centroids
-    as a small ``(n_centroids, dim)`` ndarray — model parameters, the one
+    """Train the IVF coarse quantizer: distributed MLlib k-means over a
+    SAMPLE of the corpus, returning **unit-normalized** centroids as a
+    small ``(n_centroids, dim)`` ndarray — model parameters, the one
     thing that legitimately lives on the driver and broadcasts from there.
 
-    At 100 TB you fit on a sample (``sample_fraction``); k-means quality
-    needs only ~1000 points per centroid, not the full corpus.
+    Fit and serve are separate phases: call this once, keep the array,
+    and hand it to :func:`topk_cosine_ivf` (``centroids=``) for every
+    subsequent query. k-means quality needs only ~1000 points per
+    centroid, not the corpus — ``sample_fraction`` picks the sample
+    explicitly; otherwise ``max_fit_rows`` caps it (at 100 TB a capped
+    fit is minutes, a full-corpus fit per query is the scale-killer).
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -315,6 +328,8 @@ def train_ivf_centroids(
     base = df.select(to_double_array(F.col(vector_column)).alias("_v"))
     if sample_fraction is not None:
         base = base.sample(fraction=sample_fraction, seed=seed)
+    elif max_fit_rows is not None:
+        base = base.limit(max_fit_rows)
     feats = base.select(array_to_vector(F.col("_v")).alias("features"))
     # 8 Lloyd iterations after k-means|| init is plenty for a COARSE
     # quantizer — cells only need to be roughly balanced, and recall
@@ -355,6 +370,7 @@ def topk_cosine_ivf(
     seed: int = 42,
     query_filter: Optional[Column] = None,
     sample_fraction: Optional[float] = None,
+    centroids: Optional[np.ndarray] = None,
 ) -> Callable[[DataFrame], DataFrame]:
     """Approximate top-k cosine neighbours via an IVF index, the
     FAISS-style scale path: k-means cells replace LSH buckets.
@@ -369,13 +385,22 @@ def topk_cosine_ivf(
     ``n_probe`` (the standard IVF dial); validated against the exact
     brute-force tier in the test suite.
 
+    **Fit/serve split**: pass ``centroids`` (from
+    :func:`train_ivf_centroids`, fitted once on a capped sample) to make
+    this serve-only — no model fit, no driver action, per call. Without
+    it, a capped-sample fit runs at build time as a convenience.
+
     Output schema matches :func:`topk_cosine`.
     """
 
     def _transform(df: DataFrame) -> DataFrame:
-        centers = train_ivf_centroids(
-            df, vector_column, n_centroids, seed=seed,
-            sample_fraction=sample_fraction,
+        centers = (
+            centroids
+            if centroids is not None
+            else train_ivf_centroids(
+                df, vector_column, n_centroids, seed=seed,
+                sample_fraction=sample_fraction,
+            )
         )
         assign1 = _nearest_cells_udf(centers, 1)
         probe = _nearest_cells_udf(centers, n_probe)

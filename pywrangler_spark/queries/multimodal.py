@@ -49,7 +49,34 @@ def multimodal_blob_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_features")
+# The fake decoder's byte statistics ARE oracle-expressible because the
+# corpus is pure ASCII (verified: 0 docs where octet_length != length),
+# so DuckDB char codes == blob bytes. Integer byte sums stay exact in
+# f64 (≤ 553×255 ≪ 2^53), so byte_mean is bit-identical across engines.
+# What this checks end-to-end: the Arrow mapInPandas batching, the
+# schema, and the per-row feature math — the real decode step stays a
+# stub (operators/multimodal.py).
+_FEATURES_ORACLE = """
+WITH codes AS (
+    SELECT doc_id,
+           text,
+           list_transform(regexp_split_to_array(text, ''),
+                          c -> ord(c)) AS cs
+    FROM documents
+)
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(list_avg(cs) AS DOUBLE) AS byte_mean,
+       CAST(list_min(cs) AS INT) AS byte_min,
+       CAST(list_max(cs) AS INT) AS byte_max,
+       CAST(list_sum(list_transform(
+               regexp_split_to_array(substring(text, 1, 64), ''),
+               c -> ord(c))) AS BIGINT) AS head_checksum
+FROM codes
+"""
+
+
+@register("multimodal_features", oracle=_FEATURES_ORACLE)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_blob = _docs(spark, sf_dir).transform(attach_blob("text"))
     return with_blob.transform(

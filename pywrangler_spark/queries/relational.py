@@ -592,7 +592,20 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # approximate distinct (HLL) — algorithm-specific estimates can't be
 # oracle-matched against DuckDB's sketch; validated in tests against the
 # exact count within HLL error bounds, driver records rows-only
-@register("approx_distinct_parts")
+# HLL estimates are engine-specific, so the oracle checks the part it
+# can know: the exact count, plus a deterministic boolean asserting the
+# sketch landed within 5× its configured rsd (0.01 → ±5% band). A
+# regressed/miswired sketch flips the boolean and fails the hash match.
+_APPROX_DISTINCT_ORACLE = """
+SELECT l_returnflag,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+       TRUE AS within_band
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("approx_distinct_parts", oracle=_APPROX_DISTINCT_ORACLE)
 def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dedup FIRST, then sketch+count the deduped keys. Putting
     # countDistinct and approx_count_distinct in one agg triggers the
@@ -601,9 +614,14 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # measured 17x slower at sf0.1. Same results, one scan either way.
     li = _t(spark, sf_dir, "lineitem")
     dedup = li.select("l_returnflag", "l_partkey").distinct()
+    approx = F.approx_count_distinct("l_partkey", 0.01)
+    exact = F.count(F.lit(1))
     return dedup.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
-        F.count(F.lit(1)).alias("exact_parts"),
+        exact.alias("exact_parts"),
+        (
+            F.abs(approx.cast("double") - exact.cast("double"))
+            <= F.lit(0.05) * exact.cast("double")
+        ).alias("within_band"),
     )
 
 
