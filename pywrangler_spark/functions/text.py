@@ -120,6 +120,62 @@ def lang_id(col: Column, langs: Sequence[str] = tuple(LANG_PROFILES)) -> Column:
     return expr
 
 
+def repetition_signals(col: Column) -> Dict[str, Column]:
+    """Gopher-style within-document repetition signals — the standard
+    filters for boilerplate / degenerate generations in pre-training
+    corpora (Rae et al. 2021 §A1.1; C4 uses similar line-level rules).
+
+    All three are pure array-lambda expressions evaluated scan-side:
+    zero shuffle, cost O(words × distinct words) per document, which for
+    natural text (≤ a few thousand distinct words) stays cheap and fully
+    parallel — the right 100 TB shape, since a per-doc explode+groupBy
+    formulation would shuffle every token.
+
+    - ``dup_word_ratio``: 1 − distinct/total words (1-gram repetition)
+    - ``top_word_ratio``: frequency share of the most common word
+    - ``top_bigram_ratio``: frequency share of the most common 2-gram
+
+    DuckDB twins use the same list_transform/list_filter lambdas
+    (see queries/text.py).
+    """
+    w = words(col)
+    n = F.size(w)
+    counts = F.transform(
+        F.array_distinct(w),
+        lambda x: F.size(F.filter(w, lambda y: y == x)),
+    )
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(w, (i + 1).cast("int")),
+                F.element_at(w, (i + 2).cast("int")),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bcounts = F.transform(
+        F.array_distinct(bigrams),
+        lambda x: F.size(F.filter(bigrams, lambda y: y == x)),
+    )
+    nd = n.cast("double")
+    return {
+        "dup_word_ratio": F.round(
+            F.lit(1.0) - F.size(F.array_distinct(w)) / F.nullif(nd, F.lit(0.0)),
+            6,
+        ),
+        "top_word_ratio": F.round(
+            F.array_max(counts) / F.nullif(nd, F.lit(0.0)), 6
+        ),
+        "top_bigram_ratio": F.round(
+            F.array_max(bcounts)
+            / F.nullif(F.size(bigrams).cast("double"), F.lit(0.0)),
+            6,
+        ),
+    }
+
+
 # PII / noise scrubbing patterns — RE2- and Java-regex compatible (no
 # lookaround), applied URL -> email -> number so URL digits and email
 # digits are consumed before standalone-number masking. DuckDB twin:

@@ -1,0 +1,125 @@
+"""Time-grid resampling — regularize irregular event streams onto a
+fixed-width grid per key, with last-observation-carried-forward fill.
+
+The missing piece between raw events and windowed analytics: rolling
+aggregates, lag features and join-ready feature tables all want one row
+per (key, bucket) even when nothing happened in a bucket.
+
+Plan shape (scale-first):
+
+1. per-key ``groupBy`` min/max timestamp — one shuffle carrying two
+   values per key;
+2. ``sequence(bucket(min), bucket(max), step)`` + ``explode`` builds the
+   grid *from the aggregate*, so grid construction shuffles keys, never
+   events, and the explode is computed where the key row lives;
+3. events collapse to one row per non-empty (key, bucket) — same
+   partitioning as the grid join key, so with AQE the join is a plain
+   co-partitioned hash join;
+4. LOCF fill is the classic ``last(value, ignorenulls=True)`` running
+   window per key — one sort per key partition, already shuffled by key.
+
+Total: 3 exchanges on the same key (the grid one is per-key-rows, tiny),
+no driver actions, no UDFs. Grid density is the caller's contract:
+``step_seconds`` × key span must be sane (a 10-year key at 1 s steps is
+3×10⁸ rows — that is what the operator *should* produce if asked).
+
+The reference has no resampling; pandas' ``resample().ffill()`` is the
+semantic model (``pw/pandas`` engines rely on pandas natively for this).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence, Union
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pywrangler_spark.functions.temporal import epoch_micros
+from pywrangler_spark.util import ensure_iterable
+
+
+def resample_locf(
+    ts_column: str,
+    step_seconds: int,
+    groupby_columns: Union[str, Sequence[str]],
+    value_column: str,
+    agg: str = "last",
+) -> Callable[[DataFrame], DataFrame]:
+    """One row per (group, bucket) from each group's first to last event
+    bucket; buckets with no events carry the previous bucket's value
+    forward (LOCF). Use as ``df.transform(resample_locf(...))``.
+
+    Output: groups + ``bucket_start`` (timestamp), ``<value_column>``
+    (bucket aggregate, LOCF-filled), ``n_events`` (0 for filled rows).
+
+    ``agg``: how concurrent events inside one bucket collapse before the
+    fill — "last" (by timestamp, ties broken arbitrarily-but-
+    deterministically by value max), "sum", "avg", "min", "max".
+    """
+    groups = list(ensure_iterable(groupby_columns))
+    if not groups:
+        raise ValueError("resample_locf requires groupby_columns")
+    if step_seconds <= 0:
+        raise ValueError(f"step_seconds must be > 0, got {step_seconds}")
+    if agg not in ("last", "sum", "avg", "min", "max"):
+        raise ValueError(f"unsupported agg {agg!r}")
+    step_us = int(step_seconds) * 1_000_000
+
+    def _transform(df: DataFrame) -> DataFrame:
+        bucket_us = (
+            epoch_micros(ts_column) - F.pmod(epoch_micros(ts_column), step_us)
+        )
+        ev = df.select(
+            *groups,
+            bucket_us.alias("_bucket_us"),
+            F.col(value_column).alias("_v"),
+            epoch_micros(ts_column).alias("_ts_us"),
+        )
+
+        # one row per non-empty (group, bucket)
+        if agg == "last":
+            # max_by is nondeterministic under timestamp ties; collapse
+            # ties with (ts, value) lexicographic max — deterministic
+            collapsed = ev.groupBy(*groups, "_bucket_us").agg(
+                F.max(F.struct(F.col("_ts_us"), F.col("_v")))["_v"].alias(
+                    "_bv"
+                ),
+                F.count(F.lit(1)).alias("n_events"),
+            )
+        else:
+            collapsed = ev.groupBy(*groups, "_bucket_us").agg(
+                getattr(F, agg)("_v").alias("_bv"),
+                F.count(F.lit(1)).alias("n_events"),
+            )
+
+        # grid built from the per-key span aggregate — sequences of LONG
+        # bucket indexes (sequence over timestamps would need interval
+        # literals; integer steps are exact)
+        span = ev.groupBy(*groups).agg(
+            F.min("_bucket_us").alias("_lo"), F.max("_bucket_us").alias("_hi")
+        )
+        grid = span.select(
+            *groups,
+            F.explode(
+                F.sequence(
+                    (F.col("_lo") / step_us).cast("long"),
+                    (F.col("_hi") / step_us).cast("long"),
+                )
+            ).alias("_bidx"),
+        ).select(*groups, (F.col("_bidx") * step_us).alias("_bucket_us"))
+
+        joined = grid.join(collapsed, [*groups, "_bucket_us"], "left")
+        w = (
+            Window.partitionBy(*groups)
+            .orderBy("_bucket_us")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return joined.select(
+            *groups,
+            F.timestamp_micros(F.col("_bucket_us")).alias("bucket_start"),
+            F.last("_bv", ignorenulls=True).over(w).alias(value_column),
+            F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+        )
+
+    _transform.__name__ = "resample_locf"
+    return _transform

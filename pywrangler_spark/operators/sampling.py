@@ -112,3 +112,46 @@ def stratified_exact_sample(
 
     _transform.__name__ = "stratified_exact_sample"
     return _transform
+
+
+def cap_per_key(
+    key_columns: Union[str, Sequence[str]],
+    max_rows: int,
+    id_column: str,
+    seed: Union[int, str] = 42,
+) -> Callable[[DataFrame], DataFrame]:
+    """Keep at most ``max_rows`` rows per key, chosen by deterministic
+    md5-hash order — the per-domain/per-source cap every web-scale
+    corpus applies so one hot domain cannot dominate training data.
+
+    Hash order (not "first N by id") makes the kept subset a uniform
+    pseudo-random sample of each key's rows while staying reproducible
+    across engines, reruns and cluster sizes.
+
+    Plan: one shuffle on the key columns; the rank predicate is a
+    constant, so Spark plans a WindowGroupLimit — each map task keeps a
+    ``max_rows`` top-heap BEFORE the exchange and the shuffle carries at
+    most ``max_rows`` rows per key per task, not the full hot key. That
+    (plus AQE) is what makes the zipfian 100 TB case survivable; a plain
+    ``row_number <= N`` over an un-limited sort would pull every hot-key
+    row through one reducer first.
+    """
+    keys = list(ensure_iterable(key_columns))
+    if not keys:
+        raise ValueError("cap_per_key requires key columns")
+    if max_rows <= 0:
+        raise ValueError(f"max_rows must be > 0, got {max_rows}")
+
+    def _transform(df: DataFrame) -> DataFrame:
+        b = _bucket(id_column, seed)
+        w = Window.partitionBy(*keys).orderBy(
+            b.asc(), F.col(id_column).asc()
+        )
+        return (
+            df.select("*", F.row_number().over(w).alias("__rn"))
+            .filter(F.col("__rn") <= max_rows)
+            .select(*df.columns)
+        )
+
+    _transform.__name__ = "cap_per_key"
+    return _transform

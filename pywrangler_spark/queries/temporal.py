@@ -739,3 +739,96 @@ def journey_prefix_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return journey.groupBy("journey_prefix").agg(
         F.count(F.lit(1)).alias("n_users")
     )
+
+
+# ---- time-grid resample + LOCF fill ---------------------------------------
+# One row per (user, hour) from each user's first to last event hour;
+# empty hours carry the last observed value forward. Grid is built from
+# the per-key span AGGREGATE (shuffles keys, never events); the oracle
+# rebuilds the identical grid with generate_series. In-bucket ties
+# collapse by (ts, value) lexicographic max on both engines.
+
+_RESAMPLE_ORACLE = """
+WITH ev AS (
+    SELECT user_id,
+           epoch_us(CAST(ts AS TIMESTAMP))
+             - epoch_us(CAST(ts AS TIMESTAMP)) % 3600000000 AS b,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+           "value" AS v
+    FROM events
+), collapsed AS (
+    SELECT DISTINCT user_id, b,
+           last_value(v) OVER (
+               PARTITION BY user_id, b ORDER BY tus, v
+               ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND UNBOUNDED FOLLOWING) AS bv,
+           COUNT(*) OVER (PARTITION BY user_id, b) AS n_events
+    FROM ev
+), span AS (
+    SELECT user_id, MIN(b) AS lo, MAX(b) AS hi FROM ev GROUP BY user_id
+), grid AS (
+    SELECT user_id, UNNEST(generate_series(lo // 3600000000,
+                                           hi // 3600000000))
+               * 3600000000 AS b
+    FROM span
+)
+SELECT g.user_id,
+       make_timestamp(g.b) AS bucket_start,
+       last_value(c.bv IGNORE NULLS) OVER (
+           PARTITION BY g.user_id ORDER BY g.b
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS "value",
+       CAST(COALESCE(c.n_events, 0) AS BIGINT) AS n_events
+FROM grid g LEFT JOIN collapsed c USING (user_id, b)
+"""
+
+
+@register("resample_hourly_locf", oracle=_RESAMPLE_ORACLE)
+def resample_hourly_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pywrangler_spark.operators.resample import resample_locf
+
+    return _events(spark, sf_dir).transform(
+        resample_locf("ts", 3600, "user_id", "value", agg="last")
+    )
+
+
+# ---- rolling z-score anomaly flags ----------------------------------------
+# Trailing-window standardization per user: z against the previous 20
+# events (excluding the current one — no self-leakage), flag |z| > 3.
+# Rounded to 3 dp so windowed-aggregate f64 association differences
+# (Spark running frames vs DuckDB segment trees) cannot flip a value.
+
+_ZSCORE_ORACLE = """
+SELECT event_id, user_id,
+       ROUND(("value" - avg_prev) / NULLIF(std_prev, 0.0), 3) AS zscore,
+       CASE WHEN ABS(("value" - avg_prev) / NULLIF(std_prev, 0.0)) > 3.0
+            THEN TRUE ELSE FALSE END AS is_anomaly
+FROM (
+    SELECT event_id, user_id, "value",
+           AVG("value") OVER w AS avg_prev,
+           STDDEV_SAMP("value") OVER w AS std_prev
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+)
+"""
+
+
+@register("zscore_anomaly_events", oracle=_ZSCORE_ORACLE)
+def zscore_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "ts", "value")
+    z = (F.col("value") - F.avg("value").over(w)) / F.nullif(
+        F.stddev_samp("value").over(w), F.lit(0.0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(z, 3).alias("zscore"),
+        F.coalesce(F.abs(z) > 3.0, F.lit(False)).alias("is_anomaly"),
+    )

@@ -361,3 +361,78 @@ def pack_docs_512(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sig.transform(
         pack_sequences("n_tokens", 512, "doc_id", "shard")
     )
+
+
+# ---- within-document repetition (Gopher-style quality filters) ------------
+# Scan-side array lambdas on both engines — no shuffle; the DuckDB twin
+# uses the identical list_transform/list_filter lambdas, so the counts
+# (and the rounded ratios) match exactly.
+
+_REPETITION_ORACLE = f"""
+WITH w AS (
+    SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws FROM documents
+), c AS (
+    SELECT doc_id, ws, len(ws) AS n,
+           CASE WHEN len(ws) >= 2
+                THEN list_transform(range(1, len(ws)),
+                                    i -> ws[i] || ' ' || ws[i + 1])
+                ELSE [] END AS bg
+    FROM w
+)
+SELECT doc_id,
+       round(1.0 - len(list_distinct(ws)) / nullif(n * 1.0, 0), 6)
+           AS dup_word_ratio,
+       round(list_max(list_transform(list_distinct(ws),
+                 x -> len(list_filter(ws, y -> y = x))))
+             / nullif(n * 1.0, 0), 6) AS top_word_ratio,
+       round(list_max(list_transform(list_distinct(bg),
+                 x -> len(list_filter(bg, y -> y = x))))
+             / nullif(len(bg) * 1.0, 0), 6) AS top_bigram_ratio
+FROM c
+"""
+
+
+@register("repetition_quality_docs", oracle=_REPETITION_ORACLE)
+def repetition_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition ratios (dup-word, top-word share,
+    top-bigram share) — ``functions.text.repetition_signals``."""
+    from pywrangler_spark.functions.text import repetition_signals
+
+    sig = repetition_signals(F.col("text"))
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        sig["dup_word_ratio"].alias("dup_word_ratio"),
+        sig["top_word_ratio"].alias("top_word_ratio"),
+        sig["top_bigram_ratio"].alias("top_bigram_ratio"),
+    )
+
+
+# ---- per-source caps (anti-domination) ------------------------------------
+# The web-corpus staple: no source may contribute more than N documents.
+# Hash-order selection keeps the cap a uniform deterministic sample; the
+# constant rank predicate plans as WindowGroupLimit (hot sources are
+# capped map-side before the exchange — the zipfian-scale property).
+
+_CAP_ORACLE = f"""
+SELECT doc_id, source
+FROM (
+    SELECT doc_id, source,
+           row_number() OVER (
+               PARTITION BY source
+               ORDER BY {_HASH56_SQL} % 10000, doc_id
+           ) AS rn
+    FROM documents
+)
+WHERE rn <= 15
+"""
+
+
+@register("cap_docs_per_source", oracle=_CAP_ORACLE)
+def cap_docs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pywrangler_spark.operators.sampling import cap_per_key
+
+    return (
+        _docs(spark, sf_dir)
+        .transform(cap_per_key("source", 15, "doc_id", seed=42))
+        .select("doc_id", "source")
+    )

@@ -1,0 +1,128 @@
+"""Tests: time-grid resampling (LOCF), per-key caps, repetition signals."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from pywrangler_spark.operators.resample import resample_locf
+from pywrangler_spark.operators.sampling import cap_per_key
+from pywrangler_spark.functions.text import repetition_signals
+
+
+def _ts(h, m=0):
+    return dt.datetime(2024, 1, 1, h, m)
+
+
+class TestResampleLocf:
+    @pytest.fixture(scope="class")
+    def events(self, spark):
+        rows = [
+            # user 1: events at hours 0, 0, 3 → grid 0..3, gaps 1-2 filled
+            Row(user_id=1, ts=_ts(0, 10), value=10.0),
+            Row(user_id=1, ts=_ts(0, 40), value=20.0),
+            Row(user_id=1, ts=_ts(3, 5), value=30.0),
+            # user 2: single event → single-bucket grid
+            Row(user_id=2, ts=_ts(5), value=99.0),
+        ]
+        return spark.createDataFrame(rows)
+
+    def test_grid_covers_span_and_fills(self, events):
+        out = events.transform(
+            resample_locf("ts", 3600, "user_id", "value")
+        )
+        got = {
+            (r.user_id, r.bucket_start.hour): (r.value, r.n_events)
+            for r in out.collect()
+        }
+        assert len(got) == 5  # user1 hours 0..3, user2 hour 5
+        # in-bucket ties collapse to the LAST event by timestamp
+        assert got[(1, 0)] == (20.0, 2)
+        # gap hours exist with carried-forward value and 0 events
+        assert got[(1, 1)] == (20.0, 0)
+        assert got[(1, 2)] == (20.0, 0)
+        assert got[(1, 3)] == (30.0, 1)
+        assert got[(2, 5)] == (99.0, 1)
+
+    def test_agg_modes(self, events):
+        out = events.transform(
+            resample_locf("ts", 3600, "user_id", "value", agg="sum")
+        )
+        got = {
+            (r.user_id, r.bucket_start.hour): r.value for r in out.collect()
+        }
+        assert got[(1, 0)] == 30.0
+
+    def test_validation(self):
+        with pytest.raises(ValueError):
+            resample_locf("ts", 0, "user_id", "value")
+        with pytest.raises(ValueError):
+            resample_locf("ts", 3600, [], "value")
+        with pytest.raises(ValueError):
+            resample_locf("ts", 3600, "u", "v", agg="median")
+
+
+class TestCapPerKey:
+    @pytest.fixture(scope="class")
+    def skewed(self, spark):
+        # key 'hot' has 100 rows, 'cold' has 3
+        rows = [Row(k="hot", i=i) for i in range(100)] + [
+            Row(k="cold", i=1000 + i) for i in range(3)
+        ]
+        return spark.createDataFrame(rows)
+
+    def test_caps_hot_key_keeps_cold(self, skewed):
+        out = skewed.transform(cap_per_key("k", 10, "i"))
+        counts = {
+            r.k: r.n
+            for r in out.groupBy("k").agg(F.count("*").alias("n")).collect()
+        }
+        assert counts == {"hot": 10, "cold": 3}
+
+    def test_deterministic_and_seed_sensitive(self, skewed):
+        pick = lambda seed: sorted(  # noqa: E731
+            r.i
+            for r in skewed.transform(
+                cap_per_key("k", 10, "i", seed=seed)
+            ).collect()
+        )
+        assert pick(42) == pick(42)
+        assert pick(42) != pick(7)  # different seed re-rolls the sample
+
+    def test_columns_unchanged(self, skewed):
+        out = skewed.transform(cap_per_key("k", 10, "i"))
+        assert out.columns == skewed.columns
+
+    def test_plan_uses_window_group_limit(self, skewed):
+        from pywrangler_spark.plans.inspect import explain_string
+
+        plan = explain_string(skewed.transform(cap_per_key("k", 5, "i")))
+        # the constant rank predicate must push a partial top-N below the
+        # exchange — the property that caps hot keys map-side
+        assert "WindowGroupLimit" in plan, plan
+
+
+class TestRepetitionSignals:
+    def test_known_values(self, spark):
+        df = spark.createDataFrame(
+            [
+                Row(doc_id=1, text="a a a a"),  # one word repeated 4x
+                Row(doc_id=2, text="a b c d"),  # all distinct
+                Row(doc_id=3, text="x y x y x y"),  # bigram 'x y' dominates
+            ]
+        )
+        sig = repetition_signals(F.col("text"))
+        out = {
+            r.doc_id: r
+            for r in df.select(
+                "doc_id",
+                sig["dup_word_ratio"].alias("dup"),
+                sig["top_word_ratio"].alias("top1"),
+                sig["top_bigram_ratio"].alias("top2"),
+            ).collect()
+        }
+        assert out[1].dup == 0.75 and out[1].top1 == 1.0 and out[1].top2 == 1.0
+        assert out[2].dup == 0.0 and out[2].top1 == 0.25
+        # "x y x y x y": bigrams [xy, yx, xy, yx, xy] → top share 3/5
+        assert out[3].top2 == 0.6
