@@ -120,59 +120,83 @@ def lang_id(col: Column, langs: Sequence[str] = tuple(LANG_PROFILES)) -> Column:
     return expr
 
 
-def repetition_signals(col: Column) -> Dict[str, Column]:
+def repetition_struct(col: Column) -> Column:
     """Gopher-style within-document repetition signals — the standard
     filters for boilerplate / degenerate generations in pre-training
     corpora (Rae et al. 2021 §A1.1; C4 uses similar line-level rules).
 
-    All three are pure array-lambda expressions evaluated scan-side:
-    zero shuffle, cost O(words × distinct words) per document, which for
-    natural text (≤ a few thousand distinct words) stays cheap and fully
-    parallel — the right 100 TB shape, since a per-doc explode+groupBy
-    formulation would shuffle every token.
+    Returns struct<dup_word_ratio, top_word_ratio, top_bigram_ratio>:
 
     - ``dup_word_ratio``: 1 − distinct/total words (1-gram repetition)
     - ``top_word_ratio``: frequency share of the most common word
     - ``top_bigram_ratio``: frequency share of the most common 2-gram
 
-    DuckDB twins use the same list_transform/list_filter lambdas
-    (see queries/text.py).
+    Pure scan-side array lambdas, zero shuffle; O(words × distinct
+    words) per document. CRITICAL plan shape: the token and bigram
+    arrays are BOUND as lambda variables (``transform(array(w),
+    ws -> ...)``) before any per-element use. An expression referenced
+    inside a higher-order-function lambda is re-evaluated per ELEMENT —
+    with the raw tokenization inlined that made every element cost a
+    regex pass over the document, measured 500+ s for 5 k docs vs
+    sub-second with the binding (same trap `shingles_from_words`
+    documents). DuckDB's list lambdas bind their inputs natively, so
+    the oracle twin needs no such care.
     """
-    w = words(col)
-    n = F.size(w)
-    counts = F.transform(
-        F.array_distinct(w),
-        lambda x: F.size(F.filter(w, lambda y: y == x)),
-    )
-    bigrams = F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(0), n - 2),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(w, (i + 1).cast("int")),
-                F.element_at(w, (i + 2).cast("int")),
+
+    def _stats(ws: Column) -> Column:
+        n = F.size(ws)
+        nd = n.cast("double")
+        counts = F.transform(
+            F.array_distinct(ws),
+            lambda x: F.size(F.filter(ws, lambda y: y == x)),
+        )
+        bigrams = F.when(
+            n >= 2,
+            F.transform(
+                F.sequence(F.lit(0), n - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(ws, (i + 1).cast("int")),
+                    F.element_at(ws, (i + 2).cast("int")),
+                ),
             ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    bcounts = F.transform(
-        F.array_distinct(bigrams),
-        lambda x: F.size(F.filter(bigrams, lambda y: y == x)),
-    )
-    nd = n.cast("double")
+        ).otherwise(F.array().cast("array<string>"))
+
+        def _bg_stats(bg: Column) -> Column:
+            bcounts = F.transform(
+                F.array_distinct(bg),
+                lambda x: F.size(F.filter(bg, lambda y: y == x)),
+            )
+            return F.struct(
+                F.round(
+                    F.lit(1.0)
+                    - F.size(F.array_distinct(ws)) / F.nullif(nd, F.lit(0.0)),
+                    6,
+                ).alias("dup_word_ratio"),
+                F.round(
+                    F.array_max(counts) / F.nullif(nd, F.lit(0.0)), 6
+                ).alias("top_word_ratio"),
+                F.round(
+                    F.array_max(bcounts)
+                    / F.nullif(F.size(bg).cast("double"), F.lit(0.0)),
+                    6,
+                ).alias("top_bigram_ratio"),
+            )
+
+        # bind the bigram array too: it is scanned per distinct bigram
+        return F.get(F.transform(F.array(bigrams), _bg_stats), 0)
+
+    return F.get(F.transform(F.array(words(col)), _stats), 0)
+
+
+def repetition_signals(col: Column) -> Dict[str, Column]:
+    """Dict view of :func:`repetition_struct` fields. Select the struct
+    ONCE and project its fields when using several signals — three
+    independent dict entries are three copies of the expression tree."""
+    s = repetition_struct(col)
     return {
-        "dup_word_ratio": F.round(
-            F.lit(1.0) - F.size(F.array_distinct(w)) / F.nullif(nd, F.lit(0.0)),
-            6,
-        ),
-        "top_word_ratio": F.round(
-            F.array_max(counts) / F.nullif(nd, F.lit(0.0)), 6
-        ),
-        "top_bigram_ratio": F.round(
-            F.array_max(bcounts)
-            / F.nullif(F.size(bigrams).cast("double"), F.lit(0.0)),
-            6,
-        ),
+        k: s[k]
+        for k in ("dup_word_ratio", "top_word_ratio", "top_bigram_ratio")
     }
 
 

@@ -395,15 +395,76 @@ FROM c
 @register("repetition_quality_docs", oracle=_REPETITION_ORACLE)
 def repetition_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document repetition ratios (dup-word, top-word share,
-    top-bigram share) — ``functions.text.repetition_signals``."""
-    from pywrangler_spark.functions.text import repetition_signals
+    top-bigram share) via explode + hash aggregation.
 
-    sig = repetition_signals(F.col("text"))
-    return _docs(spark, sf_dir).select(
+    Two formulations exist; this query uses the aggregate one because
+    it stays in whole-stage codegen: higher-order array lambdas are
+    CodegenFallback (interpreted) in Spark, and the pure-lambda twin
+    (``functions.text.repetition_struct``, kept for scan-side
+    composition) measured 9 s vs <1 s here at sf0.1. The shuffles are
+    keyed by doc_id and partial aggregation collapses tokens to one row
+    per (doc, distinct word) map-side — the exchange carries roughly
+    the corpus's distinct-token surface, which scales.
+    """
+    from pywrangler_spark.operators.dedup import _scale_out
+
+    base = _scale_out(_docs(spark, sf_dir)).select(
+        "doc_id", words(F.col("text")).alias("ws")
+    )
+    # bigram construction binds ws as a lambda variable: element lookups
+    # only; the tokenization itself is NOT re-evaluated per element
+    bigrams = F.get(
+        F.transform(
+            F.array(F.col("ws")),
+            lambda a: F.when(
+                F.size(a) >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(a) - 2),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(a, (i + 1).cast("int")),
+                        F.element_at(a, (i + 2).cast("int")),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>")),
+        ),
+        0,
+    )
+
+    tok = base.select("doc_id", F.explode("ws").alias("w"))
+    wstats = (
+        tok.groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("double").alias("n"),
+            F.count(F.lit(1)).cast("double").alias("n_distinct"),
+            F.max("c").cast("double").alias("top_c"),
+        )
+    )
+    btok = base.select("doc_id", F.explode(bigrams).alias("b"))
+    bstats = (
+        btok.groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("double").alias("bn"),
+            F.max("c").cast("double").alias("btop_c"),
+        )
+    )
+    joined = wstats.join(bstats, "doc_id", "left")
+    return joined.select(
         "doc_id",
-        sig["dup_word_ratio"].alias("dup_word_ratio"),
-        sig["top_word_ratio"].alias("top_word_ratio"),
-        sig["top_bigram_ratio"].alias("top_bigram_ratio"),
+        F.round(
+            F.lit(1.0) - F.col("n_distinct") / F.nullif(F.col("n"), F.lit(0.0)),
+            6,
+        ).alias("dup_word_ratio"),
+        F.round(
+            F.col("top_c") / F.nullif(F.col("n"), F.lit(0.0)), 6
+        ).alias("top_word_ratio"),
+        F.round(
+            F.col("btop_c") / F.nullif(F.col("bn"), F.lit(0.0)), 6
+        ).alias("top_bigram_ratio"),
     )
 
 
