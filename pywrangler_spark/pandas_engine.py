@@ -177,3 +177,53 @@ def _pandas_fill(columns, groupby_columns, orderby_columns, forward):
         return out
 
     return _transform
+
+
+def pandas_sessionize_gap(
+    ts_column: str,
+    gap_seconds: float,
+    groupby_columns: Union[str, Sequence[str]],
+    target_column_name: str = "session_id",
+) -> Any:
+    """Pandas twin of ``operators.sessionize.sessionize_gap`` — same
+    signature and semantics (1..n per group, split when the gap to the
+    previous event exceeds ``gap_seconds``). Original row order and
+    index preserved. ``pdf.pipe(pandas_sessionize_gap("ts", 3600, "u"))``."""
+    groups = list(ensure_iterable(groupby_columns))
+    if not groups:
+        raise ValueError("sessionize_gap requires groupby_columns")
+
+    def _transform(df: pd.DataFrame) -> pd.DataFrame:
+        ordered = df.sort_values([*groups, ts_column], kind="stable")
+        ts = pd.to_datetime(ordered[ts_column])
+        secs = ts.astype("int64") / 1e9
+        prev = secs.groupby([ordered[g] for g in groups]).shift(1)
+        boundary = (prev.isna() | ((secs - prev) > float(gap_seconds))).astype(
+            "int64"
+        )
+        sid = boundary.groupby([ordered[g] for g in groups]).cumsum()
+        out = df.copy()
+        out[target_column_name] = sid.reindex(df.index)
+        return out
+
+    return _transform
+
+
+def pandas_latest_by_key(
+    key_columns: Union[str, Sequence[str]],
+    order_column: str,
+    tiebreak_columns: Union[str, Sequence[str]] = (),
+) -> Any:
+    """Pandas twin of ``operators.latest.latest_by_key`` — same
+    signature: keep each key's row with the greatest ``order_column``
+    (ties resolved by ``tiebreak_columns``, greatest wins)."""
+    keys = list(ensure_iterable(key_columns))
+    ties = list(ensure_iterable(tiebreak_columns))
+    if not keys:
+        raise ValueError("latest_by_key requires at least one key column")
+
+    def _transform(df: pd.DataFrame) -> pd.DataFrame:
+        ordered = df.sort_values([order_column, *ties], kind="stable")
+        return ordered.groupby(keys, as_index=False, sort=False).tail(1)
+
+    return _transform

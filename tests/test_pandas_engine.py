@@ -100,3 +100,65 @@ def test_pandas_validation():
         PandasIntervalIdentifier(
             marker_column="nope", marker_start=1
         ).fit_transform(pdf)
+
+
+class TestSessionizeTwin:
+    def test_engines_agree_on_random_streams(self, spark):
+        import datetime as dt
+
+        rng = random.Random(7)
+        base = dt.datetime(2024, 1, 1)
+        rows = []
+        for u in range(20):
+            t = base
+            for i in range(rng.randint(1, 30)):
+                t = t + dt.timedelta(seconds=rng.choice([60, 600, 90000]))
+                rows.append({"user_id": u, "ts": t, "i": len(rows)})
+        pdf = pd.DataFrame(rows)
+
+        from pywrangler_spark.operators.sessionize import sessionize_gap
+        from pywrangler_spark.pandas_engine import pandas_sessionize_gap
+
+        sdf = spark.createDataFrame(pdf)
+        got_spark = {
+            (r.user_id, r.i): r.session_id
+            for r in sdf.transform(
+                sessionize_gap("ts", 86400.0, "user_id")
+            ).collect()
+        }
+        got_pandas = pdf.pipe(pandas_sessionize_gap("ts", 86400.0, "user_id"))
+        for _, r in got_pandas.iterrows():
+            assert got_spark[(r.user_id, r.i)] == r.session_id, r
+
+
+class TestLatestTwin:
+    def test_engines_agree(self, spark):
+        rng = random.Random(11)
+        pdf = pd.DataFrame(
+            [
+                {
+                    "k": rng.randint(0, 10),
+                    "o": rng.randint(0, 5),
+                    "t": rng.randint(0, 100),
+                    "v": i,
+                }
+                for i in range(300)
+            ]
+        )
+        from pywrangler_spark.operators.latest import latest_by_key
+        from pywrangler_spark.pandas_engine import pandas_latest_by_key
+
+        sdf = spark.createDataFrame(pdf)
+        got_spark = sorted(
+            (r.k, r.o, r.t, r.v)
+            for r in sdf.transform(latest_by_key("k", "o", ["t", "v"])).collect()
+        )
+        got_pandas = sorted(
+            map(
+                tuple,
+                pdf.pipe(pandas_latest_by_key("k", "o", ["t", "v"]))[
+                    ["k", "o", "t", "v"]
+                ].to_numpy(),
+            )
+        )
+        assert got_spark == got_pandas
