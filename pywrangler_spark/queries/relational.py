@@ -1506,3 +1506,75 @@ def nullsafe_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.count("c_name").alias("n_matched"),
     )
+
+
+# ---- ranking-window suite (ntile / percent_rank / cume_dist / nth) --------
+# The remaining SQL-standard ranking functions in one pass over ONE
+# window spec (one exchange + one sort; Catalyst fuses same-spec window
+# exprs). The orderBy includes o_orderkey so the order is total — ntile
+# and nth_value are only deterministic under a total order.
+
+_RANKS_ORACLE = """
+SELECT o_orderkey,
+       o_orderpriority,
+       CAST(ntile(4) OVER w AS INT) AS price_quartile,
+       ROUND(percent_rank() OVER w, 6) AS pct_rank,
+       ROUND(cume_dist() OVER w, 6) AS cume,
+       nth_value(o_orderkey, 2) OVER (
+           PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS second_cheapest_key
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+"""
+
+
+@register("window_rank_suite", oracle=_RANKS_ORACLE)
+def window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.nth_value("o_orderkey", 2).over(w_run).alias(
+            "second_cheapest_key"
+        ),
+    )
+
+
+# ---- approximate percentiles (sketch tier, band-gated oracle) -------------
+# approx_percentile is the 100 TB percentile path (bounded-memory
+# map-side sketch, no row movement — `quantiles_prices` is the exact
+# tier). Like the HLL gate: the oracle checks the exact value plus a
+# deterministic boolean that the sketch landed within a ±5% value band
+# (accuracy=10000 → rank error ≤ 0.01%, far inside the band on this
+# smooth price distribution).
+
+_APPROX_QUANTILES_ORACLE = """
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
+       TRUE AS within_band
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("approx_quantiles_prices", oracle=_APPROX_QUANTILES_ORACLE)
+def approx_quantiles_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    exact = F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4)
+    approx = F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000))
+    return li.groupBy("l_returnflag").agg(
+        exact.alias("exact_p50"),
+        (
+            F.abs(approx - exact) <= F.lit(0.05) * F.abs(exact)
+        ).alias("within_band"),
+    )

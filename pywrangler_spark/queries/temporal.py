@@ -832,3 +832,39 @@ def zscore_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 3).alias("zscore"),
         F.coalesce(F.abs(z) > 3.0, F.lit(False)).alias("is_anomaly"),
     )
+
+
+# ---- VARIANT semi-structured path (Spark 4 native) ------------------------
+# The open-table-format answer to schemaless JSON: parse ONCE into the
+# binary VARIANT encoding, then typed `variant_get` extractions — no
+# per-access string re-parse, and the encoded value is what an Iceberg/
+# Delta variant column would store. Same aggregation as
+# json_props_by_type so the two parse paths are mutually checkable; the
+# oracle extracts with DuckDB's JSON path functions.
+
+_VARIANT_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+           AS sum_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS INT)
+           AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("variant_props_by_type", oracle=_VARIANT_ORACLE)
+def variant_props_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select(
+        "event_type", F.parse_json("props").alias("v")
+    )
+    extracted = ev.select(
+        "event_type",
+        F.variant_get("v", "$.k", "int").alias("k"),
+    )
+    return extracted.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("k").cast("bigint").alias("sum_k"),
+        F.max("k").alias("max_k"),
+    )
