@@ -2,7 +2,10 @@
 
 import datetime as dt
 
+import pandas as pd
 import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
@@ -126,3 +129,100 @@ class TestRepetitionSignals:
         assert out[2].dup == 0.0 and out[2].top1 == 0.25
         # "x y x y x y": bigrams [xy, yx, xy, yx, xy] → top share 3/5
         assert out[3].top2 == 0.6
+
+
+class TestResampleProperty:
+    """Hypothesis: resample_locf must agree with a direct sequential
+    reference (pandas) on arbitrary event streams — bucket boundaries,
+    single-event keys, exact-boundary timestamps, duplicate timestamps."""
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=3),  # key
+                st.integers(min_value=0, max_value=400_000),  # offset sec
+                st.integers(min_value=-50, max_value=50),  # value
+            ),
+            min_size=1,
+            max_size=60,
+        )
+    )
+    def test_matches_sequential_reference(self, spark, events):
+        import datetime as dt
+
+        step = 3600
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            {
+                "k": k,
+                "ts": base + dt.timedelta(seconds=off),
+                "v": float(v),
+                "i": i,
+            }
+            for i, (k, off, v) in enumerate(events)
+        ]
+        pdf = pd.DataFrame(rows)
+        sdf = spark.createDataFrame(pdf)
+        got = {
+            (r.k, r.bucket_start.replace(tzinfo=None)): (r.v, r.n_events)
+            for r in sdf.transform(
+                resample_locf("ts", step, "k", "v")
+            ).collect()
+        }
+
+        # sequential reference
+        expected = {}
+        for k in sorted({r["k"] for r in rows}):
+            ev = sorted(
+                (r for r in rows if r["k"] == k),
+                key=lambda r: (r["ts"], r["v"]),
+            )
+            bucket = lambda t: t.replace(minute=0, second=0)  # noqa: E731
+            lo, hi = bucket(ev[0]["ts"]), bucket(ev[-1]["ts"])
+            last_val = None
+            t = lo
+            while t <= hi:
+                in_bucket = [r for r in ev if bucket(r["ts"]) == t]
+                if in_bucket:
+                    last_val = in_bucket[-1]["v"]  # (ts, v)-max = last
+                expected[(k, t)] = (last_val, len(in_bucket))
+                t += dt.timedelta(seconds=step)
+        assert got == expected
+
+
+class TestCapProperty:
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=5),
+                st.integers(min_value=0, max_value=10_000),
+            ),
+            min_size=1,
+            max_size=80,
+            unique_by=lambda t: t[1],
+        ),
+        st.integers(min_value=1, max_value=6),
+    )
+    def test_cap_invariants(self, spark, rows, cap):
+        pdf = pd.DataFrame(rows, columns=["k", "i"])
+        sdf = spark.createDataFrame(pdf)
+        out = sdf.transform(cap_per_key("k", cap, "i")).toPandas()
+        # never exceeds the cap; keys with <= cap rows keep everything
+        sizes = pdf.groupby("k").size()
+        got_sizes = out.groupby("k").size()
+        for k, n in sizes.items():
+            assert got_sizes.get(k, 0) == min(n, cap)
+        # kept rows are a subset of the input
+        assert set(map(tuple, out.to_numpy())) <= set(
+            map(tuple, pdf.to_numpy())
+        )
