@@ -1,5 +1,6 @@
 """Structured Streaming variants of the batch operators."""
 
+from pywrangler_spark.streaming.cardinality import stream_window_cardinality
 from pywrangler_spark.streaming.dedup import stream_dedup_exact
 from pywrangler_spark.streaming.interval import stream_identify_intervals
 from pywrangler_spark.streaming.join import stream_interval_join
@@ -12,4 +13,5 @@ __all__ = [
     "stream_time_bucket_rollup",
     "stream_dedup_exact",
     "stream_interval_join",
+    "stream_window_cardinality",
 ]

@@ -312,3 +312,76 @@ class TestStreamStreamJoin:
         s = {key(r) for r in streamed.collect()}
         assert s <= b           # nothing invented
         assert len(s) >= 0.9 * len(b)  # near-complete within watermark
+
+
+class TestStreamingCardinality:
+    def test_approx_matches_batch_sketch(self, spark, events_stream_dir):
+        from pywrangler_spark.streaming import stream_window_cardinality
+
+        ev = read_parquet(spark, f"{SF}/events.parquet")
+        batch = {
+            (r.window_start, r.window_end): r.n_distinct
+            for r in ev.groupBy(
+                F.window("ts", "1 day").alias("w")
+            )
+            .agg(F.approx_count_distinct("user_id", 0.05).alias("n"))
+            .select(
+                F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                F.col("n").alias("n_distinct"),
+            )
+            .collect()
+        }
+        streamed = _run_stream(
+            spark,
+            stream_window_cardinality(
+                "ts", "user_id", window="1 day", watermark="0 seconds"
+            ),
+            events_stream_dir,
+            ev.schema,
+            "card_sink",
+        )
+        got = {
+            (r.window_start, r.window_end): r.n_distinct
+            for r in streamed.collect()
+        }
+        # the same HLL sketch merged incrementally must land on the same
+        # estimate for every CLOSED window (the last window may be
+        # withheld by the watermark — compare the intersection, which
+        # must be non-trivial)
+        assert len(got) >= max(1, len(batch) - 1)
+        for k, v in got.items():
+            assert batch[k] == v, (k, v, batch.get(k))
+
+    def test_exact_matches_batch_distinct(self, spark, events_stream_dir):
+        from pywrangler_spark.streaming import stream_window_cardinality
+
+        ev = read_parquet(spark, f"{SF}/events.parquet")
+        batch = {
+            (r.window_start, r.window_end): r.n_distinct
+            for r in ev.groupBy(F.window("ts", "1 day").alias("w"))
+            .agg(F.countDistinct("user_id").alias("n"))
+            .select(
+                F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                F.col("n").alias("n_distinct"),
+            )
+            .collect()
+        }
+        streamed = _run_stream(
+            spark,
+            stream_window_cardinality(
+                "ts", "user_id", window="1 day",
+                watermark="0 seconds", exact=True,
+            ),
+            events_stream_dir,
+            ev.schema,
+            "card_exact_sink",
+        )
+        got = {
+            (r.window_start, r.window_end): r.n_distinct
+            for r in streamed.collect()
+        }
+        assert len(got) >= max(1, len(batch) - 1)
+        for k, v in got.items():
+            assert batch[k] == v, (k, v, batch.get(k))
