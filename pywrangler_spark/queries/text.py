@@ -497,3 +497,58 @@ def cap_docs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(cap_per_key("source", 15, "doc_id", seed=42))
         .select("doc_id", "source")
     )
+
+
+# ---- corpus mix planner (epoch sampling weights per source) ---------------
+# The data-mixing step: given a target share per source (uniform here),
+# compute each source's actual token share and the sampling weight
+# (target/actual) that flattens the mix. One aggregate + a broadcast
+# 1-row total — the plan every mixing-weight computation should have.
+
+_MIX_ORACLE = f"""
+WITH per_source AS (
+    SELECT source,
+           CAST(SUM(CASE WHEN {_NORM_SQL} = '' THEN 0
+                         ELSE len(string_split({_NORM_SQL}, ' ')) END)
+                AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY source
+), tot AS (
+    SELECT SUM(n_tokens) AS total_tokens,
+           COUNT(*) AS n_sources
+    FROM per_source
+)
+SELECT source,
+       n_docs,
+       n_tokens,
+       ROUND(n_tokens * 1.0 / total_tokens, 6) AS token_share,
+       ROUND((1.0 / n_sources) / (n_tokens * 1.0 / total_tokens), 6)
+           AS sampling_weight
+FROM per_source, tot
+"""
+
+
+@register("source_mix_weights", oracle=_MIX_ORACLE)
+def source_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_source = (
+        _docs(spark, sf_dir)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count(F.col("text"))).alias("n_tokens"),
+        )
+    )
+    tot = per_source.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    share = F.col("n_tokens") / F.col("total_tokens")
+    return per_source.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(share, 6).alias("token_share"),
+        F.round((F.lit(1.0) / F.col("n_sources")) / share, 6).alias(
+            "sampling_weight"
+        ),
+    )
