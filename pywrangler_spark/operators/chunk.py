@@ -67,3 +67,68 @@ def chunk_documents(
         )
 
     return _transform
+
+
+def chunk_by_tokens(
+    id_column: str,
+    text_column: str,
+    tokens_per_chunk: int = 512,
+    overlap_tokens: int = 0,
+    chunk_column: str = "chunk",
+    index_column: str = "chunk_index",
+    token_offset_column: str = "token_start",
+) -> Callable[[DataFrame], DataFrame]:
+    """Token-budget chunking: windows of ``tokens_per_chunk`` whitespace
+    tokens (0-based token offsets), reassembled with single spaces —
+    what a context-window packer actually consumes, vs the char-based
+    :func:`chunk_documents`.
+
+    Same zero-shuffle scan-side shape (sequence → posexplode → slice).
+    The token array is bound as a lambda variable before slicing so the
+    tokenization runs once per row, not once per window (higher-order
+    lambdas re-evaluate referenced expressions per element — see
+    functions/text.repetition_struct).
+
+    Output: ``(id, chunk_index, token_start, chunk, n_tokens)``; the
+    final window may hold fewer tokens. Empty/NULL texts → zero rows.
+    """
+    if tokens_per_chunk <= 0:
+        raise ValueError("tokens_per_chunk must be positive")
+    if not 0 <= overlap_tokens < tokens_per_chunk:
+        raise ValueError(
+            "overlap_tokens must satisfy 0 <= overlap < tokens_per_chunk"
+        )
+    step = tokens_per_chunk - overlap_tokens
+
+    def _transform(df: DataFrame) -> DataFrame:
+        from pywrangler_spark.functions.text import words
+
+        text = F.col(text_column)
+        base = df.filter(text.isNotNull() & (F.length(text) > 0)).select(
+            id_column, words(text).alias("_ws")
+        )
+        starts = F.sequence(
+            F.lit(0),
+            F.greatest(F.size("_ws") - 1, F.lit(0)),
+            F.lit(step),
+        )
+        exploded = base.select(
+            id_column,
+            F.col("_ws"),
+            F.posexplode(starts).alias(index_column, token_offset_column),
+        )
+        # slice is 1-based on the token index
+        window = F.slice(
+            F.col("_ws"),
+            F.col(token_offset_column) + 1,
+            tokens_per_chunk,
+        )
+        return exploded.select(
+            id_column,
+            index_column,
+            token_offset_column,
+            F.array_join(window, " ").alias(chunk_column),
+            F.size(window).cast("long").alias("n_tokens"),
+        )
+
+    return _transform

@@ -47,7 +47,7 @@ _PRIORITY = [
     # new in round 2 — never driver-verified
     "resample_hourly_locf", "zscore_anomaly_events", "cap_docs_per_source",
     "repetition_quality_docs", "window_rank_suite", "approx_quantiles_prices",
-    "variant_props_by_type", "source_mix_weights",
+    "variant_props_by_type", "source_mix_weights", "chunk_docs_by_tokens",
     # temporal joins / windows / event ops — no driver row in round 1
     "asof_click_attribution", "timebucket_hourly", "rangejoin_click_windows",
     "intervaljoin_error_shadow", "rolling_7d_user_value", "user_value_trend",

@@ -552,3 +552,40 @@ def source_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sampling_weight"
         ),
     )
+
+
+# ---- token-budget chunking ------------------------------------------------
+# Windows of 60 tokens with 10-token overlap; the oracle rebuilds the
+# same windows with list_slice over the split tokens (both engines
+# 1-based on the slice start, 0-based on the emitted token offset).
+
+_TOKEN_CHUNK_ORACLE = f"""
+WITH w AS (
+    SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws
+    FROM documents
+    WHERE text IS NOT NULL AND len(text) > 0
+), starts AS (
+    SELECT doc_id, ws,
+           UNNEST(range(0, greatest(len(ws), 1), 50)) AS token_start
+    FROM w
+)
+SELECT doc_id,
+       CAST(token_start // 50 AS INT) AS chunk_index,
+       CAST(token_start AS INT) AS token_start,
+       array_to_string(list_slice(ws, token_start + 1,
+                                  token_start + 60), ' ') AS chunk,
+       CAST(len(list_slice(ws, token_start + 1, token_start + 60))
+            AS BIGINT) AS n_tokens
+FROM starts
+"""
+
+
+@register("chunk_docs_by_tokens", oracle=_TOKEN_CHUNK_ORACLE)
+def chunk_docs_by_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pywrangler_spark.operators.chunk import chunk_by_tokens
+
+    return _docs(spark, sf_dir).transform(
+        chunk_by_tokens(
+            "doc_id", "text", tokens_per_chunk=60, overlap_tokens=10
+        )
+    )

@@ -1,0 +1,191 @@
+"""Empty-input robustness: every transform must plan and execute on a
+zero-row frame (right schema, no rows) without raising, and return zero
+rows. At 100 TB, empty partitions/filters-to-nothing are routine — an
+operator that throws on them kills a whole pipeline run."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def empty_events(spark):
+    return spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double"
+    )
+
+
+@pytest.fixture(scope="module")
+def empty_docs(spark):
+    return spark.createDataFrame(
+        [], "doc_id long, text string, source string"
+    )
+
+
+def test_sessionize_empty(empty_events):
+    from pywrangler_spark.operators.sessionize import sessionize_gap
+
+    assert empty_events.transform(
+        sessionize_gap("ts", 3600.0, "user_id")
+    ).count() == 0
+
+
+def test_intervals_empty(empty_events):
+    from pywrangler_spark.operators.interval_identifier import (
+        identify_intervals,
+    )
+
+    out = empty_events.transform(
+        identify_intervals(
+            marker_column="event_type",
+            marker_start="signup",
+            marker_end="purchase",
+            groupby_columns="user_id",
+            orderby_columns="ts",
+        )
+    )
+    assert out.count() == 0
+
+
+def test_resample_empty(empty_events):
+    from pywrangler_spark.operators.resample import resample_locf
+
+    assert empty_events.transform(
+        resample_locf("ts", 3600, "user_id", "value")
+    ).count() == 0
+
+
+def test_asof_empty_both_sides(empty_events):
+    from pywrangler_spark.operators.asof import asof_join
+
+    right = empty_events.select(
+        "user_id", "ts", F.col("value").alias("qv")
+    )
+    out = empty_events.transform(
+        asof_join(right, on="user_id", left_ts="ts", right_ts="ts")
+    )
+    assert out.count() == 0
+
+
+def test_rangejoin_empty(empty_events):
+    from pywrangler_spark.operators.rangejoin import range_join
+
+    intervals = empty_events.select(
+        "user_id",
+        F.col("ts").alias("lo"),
+        F.col("ts").alias("hi"),
+    )
+    out = empty_events.transform(
+        range_join(intervals, "ts", "lo", "hi", on="user_id")
+    )
+    assert out.count() == 0
+
+
+def test_dedup_family_empty(empty_docs):
+    from pywrangler_spark.operators.dedup import (
+        dedup_exact,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        simhash_table,
+    )
+
+    assert empty_docs.transform(dedup_exact("doc_id", "text")).count() == 0
+    assert (
+        empty_docs.transform(minhash_lsh_pairs("doc_id", "text")).count() == 0
+    )
+    assert (
+        empty_docs.transform(
+            ngram_jaccard_pairs("doc_id", "text")
+        ).count() == 0
+    )
+    assert empty_docs.transform(simhash_table("doc_id", "text")).count() == 0
+
+
+def test_chunking_empty(empty_docs):
+    from pywrangler_spark.operators.chunk import (
+        chunk_by_tokens,
+        chunk_documents,
+    )
+
+    assert (
+        empty_docs.transform(chunk_documents("doc_id", "text")).count() == 0
+    )
+    assert (
+        empty_docs.transform(chunk_by_tokens("doc_id", "text")).count() == 0
+    )
+
+
+def test_sampling_empty(empty_docs):
+    from pywrangler_spark.operators.sampling import (
+        cap_per_key,
+        hash_split,
+        stratified_exact_sample,
+    )
+
+    assert (
+        empty_docs.transform(
+            hash_split("doc_id", {"train": 0.9, "test": 0.1})
+        ).count() == 0
+    )
+    assert (
+        empty_docs.transform(
+            stratified_exact_sample("source", 0.5, "doc_id")
+        ).count() == 0
+    )
+    assert (
+        empty_docs.transform(cap_per_key("source", 5, "doc_id")).count() == 0
+    )
+
+
+def test_latest_family_empty(empty_events):
+    from pywrangler_spark.operators.latest import (
+        drop_unchanged,
+        latest_by_key,
+        scd2_from_changelog,
+    )
+
+    assert (
+        empty_events.transform(latest_by_key("user_id", "ts")).count() == 0
+    )
+    assert (
+        empty_events.transform(
+            drop_unchanged("user_id", "ts", ["value"])
+        ).count() == 0
+    )
+    assert (
+        empty_events.transform(
+            scd2_from_changelog("user_id", "ts")
+        ).count() == 0
+    )
+
+
+def test_similarity_empty(spark):
+    from pywrangler_spark.operators.similarity import (
+        topk_cosine,
+        topk_cosine_lsh,
+    )
+
+    emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert emb.transform(topk_cosine("vec_id", "embedding")).count() == 0
+    # LSH needs dim (no data to probe on an empty frame)
+    assert (
+        emb.transform(
+            topk_cosine_lsh("vec_id", "embedding", dim=8)
+        ).count() == 0
+    )
+
+
+def test_trend_fill_empty(empty_events):
+    from pywrangler_spark.operators.fill import ffill
+    from pywrangler_spark.operators.trend import group_trend
+
+    assert (
+        empty_events.transform(
+            group_trend("ts", "value", "user_id")
+        ).count() == 0
+    )
+    assert (
+        empty_events.transform(
+            ffill("value", "user_id", "ts")
+        ).count() == 0
+    )
