@@ -101,12 +101,15 @@ def chunk_by_tokens(
     step = tokens_per_chunk - overlap_tokens
 
     def _transform(df: DataFrame) -> DataFrame:
-        from pywrangler_spark.functions.text import words
+        from pywrangler_spark.functions.text import normalize_text, words
 
         text = F.col(text_column)
-        base = df.filter(text.isNotNull() & (F.length(text) > 0)).select(
-            id_column, words(text).alias("_ws")
-        )
+        # filter on the NORMALIZED text: whitespace-only documents
+        # normalize to "" (split('', ' ') is [''] — one phantom token)
+        # and must yield zero rows like empty/NULL ones
+        base = df.filter(
+            text.isNotNull() & (normalize_text(text) != "")
+        ).select(id_column, words(text).alias("_ws"))
         starts = F.sequence(
             F.lit(0),
             F.greatest(F.size("_ws") - 1, F.lit(0)),

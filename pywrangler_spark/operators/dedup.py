@@ -50,9 +50,11 @@ def _scale_out(df: DataFrame) -> DataFrame:
     # inputFiles() is driver-side metadata (no job, no RDD conversion, works
     # under Spark Connect). It undercounts splits for large splittable files,
     # but the guard only needs to catch the few-files case; a many-split scan
-    # reports many files and skips the repartition either way.
+    # reports many files and skips the repartition either way. Non-file
+    # sources (createDataFrame, upstream shuffles) report ZERO files — those
+    # inherit their existing parallelism and must NOT be force-shuffled.
     n_inputs = len(df.inputFiles())
-    if n_inputs < target:
+    if 0 < n_inputs < target:
         return df.repartition(target)
     return df
 
@@ -197,8 +199,11 @@ def minhash_lsh_pairs(
         )
         # consumed three times below (banding + two scoring joins): persist
         # so shingling+minhash runs once. The signature table is tiny next
-        # to the corpus (id + num_hashes longs per doc); memory-and-disk,
-        # LRU-evicted after the query.
+        # to the corpus (id + num_hashes longs per doc). NOTE the cache
+        # entry outlives the query (a lazy transform has no unpersist
+        # hook) and is only reclaimed by executor-memory LRU eviction or
+        # spark.catalog.clearCache(); long-lived services calling this in
+        # a loop should clear the cache periodically.
         from pyspark import StorageLevel
 
         sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)

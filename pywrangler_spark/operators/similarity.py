@@ -329,7 +329,15 @@ def train_ivf_centroids(
     if sample_fraction is not None:
         base = base.sample(fraction=sample_fraction, seed=seed)
     elif max_fit_rows is not None:
-        base = base.limit(max_fit_rows)
+        # UNIFORM cap, not limit(): limit takes a prefix of the first
+        # partitions, which on source/label-clustered corpora fits the
+        # quantizer to one region of embedding space. Fit is an action
+        # phase, so one count to size the fraction is legitimate.
+        n = base.count()
+        if n > max_fit_rows:
+            base = base.sample(
+                fraction=min(1.0, max_fit_rows / float(n)), seed=seed
+            )
     feats = base.select(array_to_vector(F.col("_v")).alias("features"))
     # 8 Lloyd iterations after k-means|| init is plenty for a COARSE
     # quantizer — cells only need to be roughly balanced, and recall

@@ -196,7 +196,10 @@ def pandas_sessionize_gap(
     def _transform(df: pd.DataFrame) -> pd.DataFrame:
         ordered = df.sort_values([*groups, ts_column], kind="stable")
         ts = pd.to_datetime(ordered[ts_column])
-        secs = ts.astype("int64") / 1e9
+        # resolution-safe epoch seconds: pandas 2.x series can be
+        # datetime64[us] (the parquet fixture shape) or [ns] — a raw
+        # astype("int64")/1e9 silently mis-scales for [us]
+        secs = (ts - pd.Timestamp(0)).dt.total_seconds()
         prev = secs.groupby([ordered[g] for g in groups]).shift(1)
         boundary = (prev.isna() | ((secs - prev) > float(gap_seconds))).astype(
             "int64"
@@ -223,7 +226,13 @@ def pandas_latest_by_key(
         raise ValueError("latest_by_key requires at least one key column")
 
     def _transform(df: pd.DataFrame) -> pd.DataFrame:
-        ordered = df.sort_values([order_column, *ties], kind="stable")
+        # na_position="first": a NaN/NaT ordering value must LOSE to any
+        # non-null value, matching Spark's max_by struct ordering
+        # (nulls-smallest) — pandas' default puts NaN last, which would
+        # crown the null row
+        ordered = df.sort_values(
+            [order_column, *ties], kind="stable", na_position="first"
+        )
         return ordered.groupby(keys, as_index=False, sort=False).tail(1)
 
     return _transform

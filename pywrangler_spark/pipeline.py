@@ -237,25 +237,27 @@ class Pipeline:
         out = []
         for i, s in enumerate(self.stages):
             df = self._dfs[i]
+            # ONE action per stage computes both rows and non-empty
+            # output partitions (spark_partition_id + countDistinct) —
+            # public DataFrame API only (no .rdd, Connect-compatible),
+            # and no second execution of an uncached stage plan
             t0 = time.perf_counter()
-            rows = df.count()
-            elapsed = time.perf_counter() - t0
-            # non-empty output partitions via spark_partition_id — public
-            # DataFrame API only (no .rdd, Connect-compatible); runs inside
-            # the profiling pass which is already action-driven
-            n_parts = (
-                df.select(
-                    F.spark_partition_id().alias("_pid")
-                ).agg((F.max("_pid") + F.lit(1)).alias("n")).first()["n"]
-                or 0
+            stats = (
+                df.select(F.spark_partition_id().alias("_pid"))
+                .agg(
+                    F.count(F.lit(1)).alias("rows"),
+                    F.countDistinct("_pid").alias("parts"),
+                )
+                .first()
             )
+            elapsed = time.perf_counter() - t0
             out.append(
                 {
                     "idx": i,
                     "name": s.name,
-                    "rows": rows,
+                    "rows": stats["rows"],
                     "seconds": round(elapsed, 4),
-                    "partitions": n_parts,
+                    "partitions": stats["parts"],
                     "exchanges": count_exchanges(df),
                     "cached": self.cacher.is_enabled(i),
                 }

@@ -66,12 +66,19 @@ WITH codes AS (
 )
 SELECT doc_id,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-       CAST(list_avg(cs) AS DOUBLE) AS byte_mean,
-       CAST(list_min(cs) AS INT) AS byte_min,
-       CAST(list_max(cs) AS INT) AS byte_max,
-       CAST(list_sum(list_transform(
-               regexp_split_to_array(substring(text, 1, 64), ''),
-               c -> ord(c))) AS BIGINT) AS head_checksum
+       -- empty docs: the decoder emits zeros, never NULL/-1
+       -- (regexp_split_to_array('','') is [''] and ord('') is -1, so
+       -- the empty case must be branched explicitly)
+       CASE WHEN len(text) = 0 THEN 0.0
+            ELSE CAST(list_avg(cs) AS DOUBLE) END AS byte_mean,
+       CASE WHEN len(text) = 0 THEN 0
+            ELSE CAST(list_min(cs) AS INT) END AS byte_min,
+       CASE WHEN len(text) = 0 THEN 0
+            ELSE CAST(list_max(cs) AS INT) END AS byte_max,
+       CASE WHEN len(text) = 0 THEN 0
+            ELSE CAST(list_sum(list_transform(
+                    regexp_split_to_array(substring(text, 1, 64), ''),
+                    c -> ord(c))) AS BIGINT) END AS head_checksum
 FROM codes
 """
 

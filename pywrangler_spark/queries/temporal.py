@@ -751,8 +751,11 @@ def journey_prefix_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RESAMPLE_ORACLE = """
 WITH ev AS (
     SELECT user_id,
-           epoch_us(CAST(ts AS TIMESTAMP))
-             - epoch_us(CAST(ts AS TIMESTAMP)) % 3600000000 AS b,
+           -- floor bucketing (matches Spark pmod), NOT %: DuckDB's %
+           -- truncates toward zero, splitting pre-1970 epochs into the
+           -- wrong bucket
+           CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 3600000000.0)
+                AS BIGINT) * 3600000000 AS b,
            epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
            "value" AS v
     FROM events

@@ -563,7 +563,7 @@ _TOKEN_CHUNK_ORACLE = f"""
 WITH w AS (
     SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws
     FROM documents
-    WHERE text IS NOT NULL AND len(text) > 0
+    WHERE text IS NOT NULL AND {_NORM_SQL} != ''
 ), starts AS (
     SELECT doc_id, ws,
            UNNEST(range(0, greatest(len(ws), 1), 50)) AS token_start

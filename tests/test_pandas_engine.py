@@ -162,3 +162,53 @@ class TestLatestTwin:
             )
         )
         assert got_spark == got_pandas
+
+
+class TestTwinResolutionRegressions:
+    def test_sessionize_us_resolution(self):
+        """pandas 2.x parquet round-trips yield datetime64[us] series;
+        epoch math must not assume nanoseconds (a [us] series scaled by
+        1e-9 makes every gap ~0 and collapses all sessions)."""
+        import datetime as dt
+
+        from pywrangler_spark.pandas_engine import pandas_sessionize_gap
+
+        base = dt.datetime(2024, 1, 1)
+        pdf = pd.DataFrame(
+            {
+                "user_id": [1, 1, 1],
+                "ts": pd.Series(
+                    [base, base + dt.timedelta(hours=1),
+                     base + dt.timedelta(days=5)],
+                    dtype="datetime64[us]",
+                ),
+            }
+        )
+        assert str(pdf["ts"].dtype) == "datetime64[us]"
+        out = pdf.pipe(pandas_sessionize_gap("ts", 86400.0, "user_id"))
+        assert list(out["session_id"]) == [1, 1, 2]
+
+    def test_latest_null_order_loses(self, spark):
+        """A NaT ordering value must lose to any non-null one — matching
+        Spark max_by's nulls-smallest struct ordering."""
+        from pywrangler_spark.operators.latest import latest_by_key
+        from pywrangler_spark.pandas_engine import pandas_latest_by_key
+
+        pdf = pd.DataFrame(
+            {
+                "k": ["a", "a"],
+                "o": pd.Series(
+                    [pd.Timestamp("2024-01-05"), pd.NaT],
+                    dtype="datetime64[us]",
+                ),
+                "v": [1, 2],
+            }
+        )
+        got_p = pdf.pipe(pandas_latest_by_key("k", "o"))
+        assert list(got_p["v"]) == [1]
+        got_s = (
+            spark.createDataFrame(pdf)
+            .transform(latest_by_key("k", "o"))
+            .collect()
+        )
+        assert [r.v for r in got_s] == [1]
