@@ -29,6 +29,7 @@ def register(name: str, oracle: Optional[str] = None):
 
 
 # importing the modules populates the registry
+from pywrangler_spark.queries import corpus as _corpus  # noqa: E402,F401
 from pywrangler_spark.queries import dedup as _dedup  # noqa: E402,F401
 from pywrangler_spark.queries import intervals as _intervals  # noqa: E402,F401
 from pywrangler_spark.queries import multimodal as _multimodal  # noqa: E402,F401
@@ -45,6 +46,7 @@ from pywrangler_spark.queries import text as _text  # noqa: E402,F401
 # (mutually similar star-join/agg shapes) last.
 _PRIORITY = [
     # new in round 2 — never driver-verified
+    "decontaminate_docs", "shard_docs", "heavy_hitter_terms",
     "resample_hourly_locf", "zscore_anomaly_events", "cap_docs_per_source",
     "repetition_quality_docs", "window_rank_suite", "approx_quantiles_prices",
     "variant_props_by_type", "source_mix_weights", "chunk_docs_by_tokens",

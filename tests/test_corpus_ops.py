@@ -1,0 +1,124 @@
+"""Unit tests for decontamination, shard shuffle, and heavy hitters."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pywrangler_spark.operators.decontaminate import contamination_overlap
+from pywrangler_spark.operators.heavyhitters import top_terms_sampled
+from pywrangler_spark.operators.shard import shuffle_to_shards
+
+
+class TestContaminationOverlap:
+    def test_flags_docs_sharing_eval_ngrams(self, spark):
+        eval_df = spark.createDataFrame(
+            [("the quick brown fox jumps over the lazy dog",)], ["text"]
+        )
+        corpus = spark.createDataFrame(
+            [
+                # shares exactly one eval 5-gram: "quick brown fox jumps over"
+                (1, "a quick brown fox jumps over me today"),
+                (2, "completely unrelated words in this one here"),
+                (3, "too short"),  # < 5 words: no grams, always clean
+            ],
+            ["doc_id", "text"],
+        )
+        out = {
+            r["doc_id"]: (r["n_overlap"], r["contaminated"])
+            for r in corpus.transform(
+                contamination_overlap(eval_df, n=5)
+            ).collect()
+        }
+        assert out[1] == (1, True)
+        assert out[2] == (0, False)
+        assert out[3] == (0, False)
+
+    def test_min_overlap_threshold(self, spark):
+        eval_df = spark.createDataFrame([("a b c d e f",)], ["text"])
+        corpus = spark.createDataFrame([(1, "x a b c d e y")], ["doc_id", "text"])
+        strict = corpus.transform(
+            contamination_overlap(eval_df, n=5, min_overlap=2)
+        ).collect()[0]
+        assert strict["n_overlap"] == 1 and not strict["contaminated"]
+
+    def test_rejects_bad_params(self, spark):
+        eval_df = spark.createDataFrame([("a",)], ["text"])
+        with pytest.raises(ValueError):
+            contamination_overlap(eval_df, n=0)
+        with pytest.raises(ValueError):
+            contamination_overlap(eval_df, min_overlap=0)
+
+
+class TestShuffleToShards:
+    def test_partitions_all_rows_with_contiguous_positions(self, spark):
+        df = spark.range(100).withColumnRenamed("id", "doc_id")
+        out = df.transform(shuffle_to_shards("doc_id", 4)).collect()
+        assert len(out) == 100
+        by_shard = {}
+        for r in out:
+            assert 0 <= r["shard"] < 4
+            by_shard.setdefault(r["shard"], []).append(r["pos"])
+        for positions in by_shard.values():
+            assert sorted(positions) == list(range(len(positions)))
+
+    def test_deterministic_and_seed_sensitive(self, spark):
+        df = spark.range(50).withColumnRenamed("id", "doc_id")
+        a = {
+            r["doc_id"]: (r["shard"], r["pos"])
+            for r in df.transform(shuffle_to_shards("doc_id", 4)).collect()
+        }
+        b = {
+            r["doc_id"]: (r["shard"], r["pos"])
+            for r in df.transform(shuffle_to_shards("doc_id", 4)).collect()
+        }
+        c = {
+            r["doc_id"]: (r["shard"], r["pos"])
+            for r in df.transform(
+                shuffle_to_shards("doc_id", 4, seed="other")
+            ).collect()
+        }
+        assert a == b
+        assert a != c
+
+    def test_single_shard_is_global_permutation(self, spark):
+        df = spark.range(20).withColumnRenamed("id", "doc_id")
+        out = df.transform(shuffle_to_shards("doc_id", 1)).collect()
+        assert sorted(r["pos"] for r in out) == list(range(20))
+        # hash order must not be identity order
+        assert [r["doc_id"] for r in sorted(out, key=lambda r: r["pos"])] != [
+            r["doc_id"] for r in sorted(out, key=lambda r: r["doc_id"])
+        ]
+
+    def test_rejects_bad_shard_count(self, spark):
+        with pytest.raises(ValueError):
+            shuffle_to_shards("doc_id", 0)
+
+
+class TestTopTermsSampled:
+    def _corpus(self, spark):
+        rows = [(i, "alpha beta " + ("gamma" if i % 2 else "delta")) for i in range(40)]
+        return spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def test_full_sample_equals_exact_counts(self, spark):
+        df = self._corpus(spark)
+        out = df.transform(
+            top_terms_sampled("text", "doc_id", k=4, sample_fraction=1.0)
+        ).collect()
+        got = {r["term"]: r["n_exact"] for r in out}
+        assert got == {"alpha": 40, "beta": 40, "gamma": 20, "delta": 20}
+        # ordering: count desc, term asc
+        assert [r["term"] for r in out] == ["alpha", "beta", "delta", "gamma"]
+
+    def test_counts_are_exact_even_when_sampled(self, spark):
+        df = self._corpus(spark)
+        out = df.transform(
+            top_terms_sampled("text", "doc_id", k=2, sample_fraction=0.5)
+        ).collect()
+        for r in out:
+            assert r["n_exact"] in (40, 20)
+        assert [r["term"] for r in out] == ["alpha", "beta"]
+
+    def test_rejects_bad_params(self, spark):
+        with pytest.raises(ValueError):
+            top_terms_sampled("text", "doc_id", k=0)
+        with pytest.raises(ValueError):
+            top_terms_sampled("text", "doc_id", k=5, sample_fraction=0.0)
