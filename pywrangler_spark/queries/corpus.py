@@ -142,3 +142,96 @@ def heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             "text", "doc_id", k=10, sample_fraction=0.2, seed="hh"
         )
     )
+
+
+# ---- end-to-end corpus cleaning pipeline ----------------------------------
+# The flagship composition: quality gate -> eval-set exclusion -> exact
+# dedup -> decontamination -> deterministic split -> shard shuffle, all
+# as chained ``.transform`` stages of the operators above. Every stage
+# is a narrow filter/projection or a single bounded exchange, so the
+# composed plan stays linear in corpus size; the final per-(split,
+# shard) aggregate (24 rows) also pins the within-shard permutation via
+# ``min_by(doc_id, pos)``.
+
+_TOKENS_SQL = (
+    f"CASE WHEN {_NORM_SQL} = '' THEN 0"
+    f" ELSE len(string_split({_NORM_SQL}, ' ')) END"
+)
+
+_PIPELINE_ORACLE = f"""
+WITH feat AS (
+    SELECT doc_id, text,
+           CAST({_TOKENS_SQL} AS BIGINT) AS n_tokens,
+           md5({_NORM_SQL}) AS fp,
+           {_bucket_sql("evalset")} < 500 AS is_eval
+    FROM documents
+), grams AS (
+    SELECT DISTINCT doc_id, {_GRAM5_SQL} AS gh
+    FROM (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w
+          FROM documents),
+         UNNEST(range(1, len(w) - 3)) AS t(i)
+    WHERE len(w) >= 5
+), eval_grams AS (
+    SELECT DISTINCT gh FROM grams JOIN feat USING (doc_id) WHERE is_eval
+), dedup AS (
+    SELECT * FROM feat
+    WHERE NOT is_eval AND n_tokens >= 25
+    QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+), clean AS (
+    SELECT d.* FROM dedup d
+    WHERE NOT EXISTS (
+        SELECT 1 FROM grams g JOIN eval_grams e USING (gh)
+        WHERE g.doc_id = d.doc_id
+    )
+), assigned AS (
+    SELECT doc_id, n_tokens,
+           CASE WHEN {_bucket_sql("42")} < 8000 THEN 'train'
+                WHEN {_bucket_sql("42")} < 9000 THEN 'val'
+                ELSE 'test' END AS split,
+           ('0x' || substr(md5('shards' || ':' ||
+               CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT AS h
+    FROM clean
+), pos AS (
+    SELECT *, h % 8 AS shard,
+           row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) - 1
+               AS pos
+    FROM assigned
+)
+SELECT split, shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       arg_min(doc_id, pos) AS first_doc_id
+FROM pos
+GROUP BY 1, 2
+"""
+
+
+@register("corpus_clean_pipeline", oracle=_PIPELINE_ORACLE)
+def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pywrangler_spark.functions.text import token_count
+    from pywrangler_spark.operators.decontaminate import contamination_overlap
+    from pywrangler_spark.operators.dedup import dedup_exact
+    from pywrangler_spark.operators.sampling import hash_split
+    from pywrangler_spark.operators.shard import shuffle_to_shards
+
+    docs = _docs(spark, sf_dir)
+    is_eval = _bucket_col("evalset") < 500
+    eval_df = docs.filter(is_eval)
+    cleaned = (
+        docs.filter(~is_eval)
+        .filter(token_count(F.col("text")) >= 25)
+        .transform(dedup_exact("doc_id", "text"))
+        .transform(contamination_overlap(eval_df, n=5))
+        .filter(~F.col("contaminated"))
+        .transform(
+            hash_split(
+                "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed=42
+            )
+        )
+        .transform(shuffle_to_shards("doc_id", 8, seed="shards"))
+    )
+    return cleaned.groupBy("split", "shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text"))).alias("n_tokens"),
+        F.min_by("doc_id", "pos").alias("first_doc_id"),
+    )

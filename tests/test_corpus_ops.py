@@ -6,6 +6,7 @@ from pyspark.sql import functions as F
 from pywrangler_spark.operators.decontaminate import contamination_overlap
 from pywrangler_spark.operators.heavyhitters import top_terms_sampled
 from pywrangler_spark.operators.shard import shuffle_to_shards
+from pywrangler_spark.plans.inspect import count_exchanges, explain_string
 
 
 class TestContaminationOverlap:
@@ -46,6 +47,21 @@ class TestContaminationOverlap:
             contamination_overlap(eval_df, n=0)
         with pytest.raises(ValueError):
             contamination_overlap(eval_df, min_overlap=0)
+
+    def test_plan_broadcasts_eval_grams(self, spark):
+        # the corpus side must never shuffle into the gram join: the
+        # eval-gram set is the broadcast build side, and no fallback to
+        # a nested-loop join is acceptable
+        eval_df = spark.createDataFrame([("a b c d e f g",)], ["text"])
+        corpus = spark.createDataFrame(
+            [(i, "a b c d e plus filler") for i in range(50)],
+            ["doc_id", "text"],
+        )
+        plan = explain_string(
+            corpus.transform(contamination_overlap(eval_df, n=5))
+        )
+        assert "BroadcastHashJoin" in plan
+        assert "BroadcastNestedLoopJoin" not in plan
 
 
 class TestShuffleToShards:
@@ -91,6 +107,13 @@ class TestShuffleToShards:
     def test_rejects_bad_shard_count(self, spark):
         with pytest.raises(ValueError):
             shuffle_to_shards("doc_id", 0)
+
+    def test_plan_has_single_exchange(self, spark):
+        # shard assignment is a projection; only the within-shard
+        # position window may shuffle (once, on the shard key)
+        df = spark.range(1000).withColumnRenamed("id", "doc_id")
+        out = df.transform(shuffle_to_shards("doc_id", 8))
+        assert count_exchanges(out) == 1, explain_string(out)
 
 
 class TestTopTermsSampled:
