@@ -212,6 +212,96 @@ def pandas_sessionize_gap(
     return _transform
 
 
+def _hash56_py(s: str) -> int:
+    """Python twin of ``functions.hashing.hash56`` (md5 first 14 hex)."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:14], 16)
+
+
+def _normalize_py(s: str) -> str:
+    """Python twin of ``functions.text.normalize_text``."""
+    import re
+
+    return re.sub(r"\s+", " ", str(s).lower()).strip()
+
+
+def _gram_hashes_py(text: str, n: int) -> set:
+    """Distinct word n-gram hash56 set — twin of
+    ``operators.decontaminate._gram_hashes``."""
+    w = _normalize_py(text).split(" ")
+    if len(w) < n:
+        return set()
+    return {
+        _hash56_py(" ".join(w[i : i + n])) for i in range(len(w) - n + 1)
+    }
+
+
+def pandas_contamination_overlap(
+    eval_df: pd.DataFrame,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    n: int = 5,
+    min_overlap: int = 1,
+) -> Any:
+    """Pandas twin of ``operators.decontaminate.contamination_overlap``
+    — same signature and md5-gram semantics; appends ``n_overlap`` and
+    ``contaminated``."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if min_overlap < 1:
+        raise ValueError(f"min_overlap must be >= 1, got {min_overlap}")
+
+    eval_grams: set = set()
+    for t in eval_df[text_column]:
+        eval_grams |= _gram_hashes_py(t, n)
+
+    def _transform(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["n_overlap"] = [
+            len(_gram_hashes_py(t, n) & eval_grams) for t in df[text_column]
+        ]
+        out["n_overlap"] = out["n_overlap"].astype("int64")
+        out["contaminated"] = out["n_overlap"] >= min_overlap
+        return out
+
+    return _transform
+
+
+def pandas_shuffle_to_shards(
+    id_column: str,
+    num_shards: int,
+    seed: Union[int, str] = 42,
+    shard_column: str = "shard",
+    position_column: str = "pos",
+) -> Any:
+    """Pandas twin of ``operators.shard.shuffle_to_shards`` — identical
+    hash-derived shard + within-shard position on any engine."""
+    if num_shards < 1:
+        raise ValueError(f"num_shards must be >= 1, got {num_shards}")
+
+    def _transform(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        h = pd.Series(
+            [
+                _hash56_py(f"{seed}:{v}")
+                for v in df[id_column].astype("string")
+            ],
+            index=df.index,
+            dtype="int64",
+        )
+        out[shard_column] = (h % num_shards).astype("int64")
+        order = pd.DataFrame(
+            {"h": h, "id": df[id_column], "s": out[shard_column]}
+        ).sort_values(["h", "id"], kind="stable")
+        out[position_column] = (
+            order.groupby("s").cumcount().reindex(df.index).astype("int64")
+        )
+        return out
+
+    return _transform
+
+
 def pandas_latest_by_key(
     key_columns: Union[str, Sequence[str]],
     order_column: str,

@@ -212,3 +212,57 @@ class TestTwinResolutionRegressions:
             .collect()
         )
         assert [r.v for r in got_s] == [1]
+
+
+class TestCorpusTwins:
+    def _pdf(self):
+        rng = random.Random(11)
+        vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta"]
+        rows = []
+        for i in range(60):
+            k = rng.randint(2, 12)
+            rows.append(
+                {
+                    "doc_id": i,
+                    "text": " ".join(rng.choice(vocab) for _ in range(k)),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    def test_contamination_engines_agree(self, spark):
+        from pywrangler_spark.operators.decontaminate import (
+            contamination_overlap,
+        )
+        from pywrangler_spark.pandas_engine import (
+            pandas_contamination_overlap,
+        )
+
+        pdf = self._pdf()
+        eval_pdf = pdf[pdf.doc_id % 10 == 0]
+        sdf = spark.createDataFrame(pdf)
+        got_spark = {
+            r.doc_id: (r.n_overlap, r.contaminated)
+            for r in sdf.transform(
+                contamination_overlap(spark.createDataFrame(eval_pdf), n=4)
+            ).collect()
+        }
+        got_pandas = pdf.pipe(pandas_contamination_overlap(eval_pdf, n=4))
+        assert len(got_spark) == len(got_pandas)
+        for _, r in got_pandas.iterrows():
+            assert got_spark[r.doc_id] == (r.n_overlap, r.contaminated), r
+
+    def test_shards_engines_agree(self, spark):
+        from pywrangler_spark.operators.shard import shuffle_to_shards
+        from pywrangler_spark.pandas_engine import pandas_shuffle_to_shards
+
+        pdf = self._pdf()[["doc_id"]]
+        sdf = spark.createDataFrame(pdf)
+        got_spark = {
+            r.doc_id: (r.shard, r.pos)
+            for r in sdf.transform(
+                shuffle_to_shards("doc_id", 4, seed="tw")
+            ).collect()
+        }
+        got_pandas = pdf.pipe(pandas_shuffle_to_shards("doc_id", 4, seed="tw"))
+        for _, r in got_pandas.iterrows():
+            assert got_spark[r.doc_id] == (r.shard, r.pos), r
