@@ -1,6 +1,7 @@
 """Structured Streaming variants of the batch operators."""
 
 from pywrangler_spark.streaming.cardinality import stream_window_cardinality
+from pywrangler_spark.streaming.decontaminate import stream_contamination_flag
 from pywrangler_spark.streaming.dedup import stream_dedup_exact
 from pywrangler_spark.streaming.interval import stream_identify_intervals
 from pywrangler_spark.streaming.join import stream_interval_join
@@ -14,4 +15,5 @@ __all__ = [
     "stream_dedup_exact",
     "stream_interval_join",
     "stream_window_cardinality",
+    "stream_contamination_flag",
 ]

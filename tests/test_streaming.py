@@ -385,3 +385,66 @@ class TestStreamingCardinality:
         assert len(got) >= max(1, len(batch) - 1)
         for k, v in got.items():
             assert batch[k] == v, (k, v, batch.get(k))
+
+
+class TestStreamingDecontamination:
+    @pytest.fixture(scope="class")
+    def docs_stream_dir(self, spark, tmp_path_factory):
+        base = str(tmp_path_factory.mktemp("docs_stream"))
+        docs = read_parquet(spark, f"{SF}/documents.parquet")
+        files_dir = os.path.join(base, "files")
+        os.makedirs(files_dir)
+        half = docs.count() // 2
+        docs.filter(F.col("doc_id") < half).coalesce(1).write.parquet(
+            os.path.join(base, "b0")
+        )
+        docs.filter(F.col("doc_id") >= half).coalesce(1).write.parquet(
+            os.path.join(base, "b1")
+        )
+        n = 0
+        for sub in ("b0", "b1"):
+            for name in sorted(os.listdir(os.path.join(base, sub))):
+                if name.endswith(".parquet"):
+                    dest = os.path.join(files_dir, f"{n:03d}.parquet")
+                    shutil.copy(os.path.join(base, sub, name), dest)
+                    os.utime(dest, (1_700_000_000 + n * 60,) * 2)
+                    n += 1
+        return files_dir
+
+    def test_flags_match_batch(self, spark, docs_stream_dir):
+        from pywrangler_spark.operators.decontaminate import (
+            contamination_overlap,
+        )
+        from pywrangler_spark.streaming import stream_contamination_flag
+
+        docs = read_parquet(spark, f"{SF}/documents.parquet")
+        eval_df = docs.filter(F.col("doc_id") % 20 == 0)
+        batch = {
+            r["doc_id"]: (r["n_overlap"], r["contaminated"])
+            for r in docs.transform(
+                contamination_overlap(eval_df, n=5)
+            ).collect()
+        }
+        streamed = _run_stream(
+            spark,
+            stream_contamination_flag(eval_df, n=5),
+            docs_stream_dir,
+            docs.schema,
+            "decontam_sink",
+        )
+        got = {
+            r["doc_id"]: (r["n_overlap"], r["contaminated"])
+            for r in streamed.collect()
+        }
+        assert got == batch
+        assert any(v[1] for v in got.values())  # eval docs flag themselves
+
+    def test_rejects_streaming_eval(self, spark, docs_stream_dir):
+        from pywrangler_spark.streaming import stream_contamination_flag
+
+        sdf = (
+            spark.readStream.schema("text string")
+            .parquet(docs_stream_dir)
+        )
+        with pytest.raises(ValueError, match="static"):
+            stream_contamination_flag(sdf)
