@@ -235,3 +235,48 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(token_count(F.col("text"))).alias("n_tokens"),
         F.min_by("doc_id", "pos").alias("first_doc_id"),
     )
+
+
+# ---- unigram LM quality scoring -------------------------------------------
+# Fit-once (capped vocabulary, broadcast) / score-many; the vocabulary
+# cap of 20 deliberately pushes part of the corpus into the OOV floor
+# so both scoring paths are oracle-checked. ROUND(6) absorbs the
+# engines' last-ulp ln() differences.
+
+_LM_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS term
+    FROM documents
+), toks2 AS (
+    SELECT * FROM toks WHERE term <> ''
+), counts AS (
+    SELECT term, COUNT(*) AS n FROM toks2 GROUP BY 1
+), tot AS (
+    SELECT SUM(n) AS total FROM counts
+), model AS (
+    SELECT term, n * 1.0 / total AS p FROM counts, tot
+    ORDER BY n DESC, term ASC LIMIT 20
+), scored AS (
+    SELECT t.doc_id, -ln(COALESCE(m.p, 1e-9)) AS nll
+    FROM toks2 t LEFT JOIN model m USING (term)
+), per_doc AS (
+    SELECT doc_id, AVG(nll) AS s FROM scored GROUP BY 1
+)
+SELECT d.doc_id, ROUND(p.s, 6) AS lm_score
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+@register("lm_score_docs", oracle=_LM_ORACLE)
+def lm_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pywrangler_spark.operators.lmscore import (
+        fit_unigram_model,
+        unigram_logprob_score,
+    )
+
+    docs = _docs(spark, sf_dir)
+    model = docs.transform(fit_unigram_model("text", vocab_size=20))
+    return (
+        docs.transform(unigram_logprob_score(model, oov_p=1e-9))
+        .select("doc_id", F.round("lm_score", 6).alias("lm_score"))
+    )
