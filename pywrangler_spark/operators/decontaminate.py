@@ -27,21 +27,38 @@ from __future__ import annotations
 
 from typing import Callable
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pywrangler_spark.functions.hashing import hash56
-from pywrangler_spark.functions.text import word_shingles
+from pywrangler_spark.functions.text import shingles_from_words, words
 
 
-def _gram_hashes(text_column: str, n: int) -> Column:
-    """Distinct word n-gram hashes (array<long>) of the normalized text.
+def gram_hash_stream(
+    df: DataFrame, text_column: str, n: int, id_column: str = None
+) -> DataFrame:
+    """Exploded stream of distinct word n-gram hashes: ``(_gh)`` or
+    ``(_id, _gh)`` when ``id_column`` is given.
+
+    Staged in three projections so the token array materializes ONCE
+    before the shingle lambda references it n+1 times — inlining the
+    tokenization there re-evaluates normalize+split per reference
+    (Catalyst does not CSE across array lambdas; see
+    ``functions.text.shingles_from_words``), a measured ~10x slowdown.
+    The hash is applied AFTER the explode, on a plain string column.
 
     DuckDB twin (see ``queries.corpus``): explode ``range`` over the
     token list and hash ``w[i] || ' ' || ... || w[i+n-1]`` with the
     shared md5/56-bit scheme — engine-identical by construction.
     """
-    return F.transform(word_shingles(F.col(text_column), n), hash56)
+    ids = [F.col(id_column).alias("_id")] if id_column else []
+    id_names = ["_id"] if id_column else []
+    tokenized = df.select(*ids, words(F.col(text_column)).alias("_w"))
+    exploded = tokenized.filter(F.size("_w") >= n).select(
+        *id_names,
+        F.explode(shingles_from_words(F.col("_w"), n)).alias("_g"),
+    )
+    return exploded.select(*id_names, hash56(F.col("_g")).alias("_gh"))
 
 
 def contamination_overlap(
@@ -68,16 +85,8 @@ def contamination_overlap(
         raise ValueError(f"min_overlap must be >= 1, got {min_overlap}")
 
     def _transform(df: DataFrame) -> DataFrame:
-        eval_grams = (
-            eval_df.select(
-                F.explode(_gram_hashes(text_column, n)).alias("_gh")
-            )
-            .distinct()
-        )
-        corpus_grams = df.select(
-            F.col(id_column).alias("_id"),
-            F.explode(_gram_hashes(text_column, n)).alias("_gh"),
-        )
+        eval_grams = gram_hash_stream(eval_df, text_column, n).distinct()
+        corpus_grams = gram_hash_stream(df, text_column, n, id_column)
         # broadcast the eval-gram set: the corpus never shuffles here,
         # and only matched grams continue to the aggregation
         matched = (

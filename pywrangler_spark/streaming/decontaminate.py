@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from pywrangler_spark.operators.decontaminate import _gram_hashes
+from pywrangler_spark.operators.decontaminate import gram_hash_stream
 
 
 def stream_contamination_flag(
@@ -56,9 +56,7 @@ def stream_contamination_flag(
 
     eval_grams = frozenset(
         r["_gh"]
-        for r in eval_df.select(
-            F.explode(_gram_hashes(text_column, n)).alias("_gh")
-        )
+        for r in gram_hash_stream(eval_df, text_column, n)
         .distinct()
         .collect()
     )
