@@ -1,0 +1,135 @@
+"""Cross-document duplicate-span masking — substring-level dedup.
+
+Document-level dedup (``operators.dedup``) removes whole near-identical
+documents; this operator targets the other failure mode: boilerplate
+SPANS (headers, licenses, templates) repeated across otherwise-distinct
+documents (public methodology: suffix-array substring dedup, Lee et
+al., "Deduplicating Training Data Makes Language Models Better" — here
+re-expressed as the n-gram-position formulation that distributes).
+
+A token position is *masked* when some word n-gram window covering it
+occurs in ``min_docs``+ DISTINCT documents. Per-doc mask statistics
+come back as columns; the gate (drop, trim, or re-weight) is the
+caller's policy.
+
+Plan shape at 100 TB:
+
+1. positional gram stream: scan-side posexplode of (doc_id, pos,
+   gram_hash) — 8-byte hashes, never gram strings;
+2. duplicated-gram set: count DISTINCT doc_ids per gram hash
+   (partial_count map-side) and keep ``>= min_docs`` — this set is NOT
+   broadcastable in general (boilerplate scales with the corpus), so
+   the gram stream re-joins it on the hash: one shuffled equi-join,
+   AQE-handled skew (a mega-common gram is exactly a skewed key);
+3. covered positions: explode each hit's n-token window, distinct,
+   count per doc — the only rows past the join are positions inside
+   duplicated spans.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pywrangler_spark.functions.hashing import hash56
+from pywrangler_spark.functions.text import token_count, words
+
+
+def _positional_grams(
+    df: DataFrame, id_column: str, text_column: str, n: int
+) -> DataFrame:
+    """(_id, _pos, _gh): every n-gram occurrence with its 0-based start
+    token index. Non-distinct — positions matter here, unlike the
+    decontamination stream. Staged like
+    ``decontaminate.gram_hash_stream`` (token array materializes before
+    the shingle lambda; hash after the explode)."""
+    tokenized = df.select(
+        F.col(id_column).alias("_id"), words(F.col(text_column)).alias("_w")
+    )
+    exploded = tokenized.filter(F.size("_w") >= n).select(
+        "_id",
+        F.posexplode(_all_shingles("_w", n)).alias("_pos", "_g"),
+    )
+    return exploded.select("_id", "_pos", hash56(F.col("_g")).alias("_gh"))
+
+
+def _all_shingles(w: str, n: int):
+    """Positional (non-distinct) shingle array from a materialized
+    token-array column — ``shingles_from_words`` minus the distinct."""
+    col = F.col(w)
+    idx = F.sequence(F.lit(0), F.size(col) - n)
+    shingle = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ",
+            *[
+                F.element_at(col, (i + j + 1).cast("int"))
+                for j in range(n)
+            ],
+        ),
+    )
+    return F.when(F.size(col) >= n, shingle).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def mask_duplicate_spans(
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    n: int = 5,
+    min_docs: int = 2,
+) -> Callable[[DataFrame], DataFrame]:
+    """Append per-document duplicate-span statistics:
+
+    - ``n_masked`` — tokens covered by at least one n-gram occurring in
+      ``min_docs``+ distinct documents (long, 0 when clean);
+    - ``dup_ratio`` — ``n_masked / token count`` (double, 0.0 for
+      empty docs).
+
+    Documents shorter than ``n`` words are never masked.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+
+    def _transform(df: DataFrame) -> DataFrame:
+        grams = _positional_grams(df, id_column, text_column, n)
+        dup = (
+            grams.groupBy("_gh")
+            .agg(F.count_distinct("_id").alias("_nd"))
+            .filter(F.col("_nd") >= min_docs)
+            .select("_gh")
+        )
+        covered = (
+            grams.join(dup, "_gh")
+            .select(
+                "_id",
+                F.explode(
+                    F.sequence(
+                        F.col("_pos"), F.col("_pos") + F.lit(n - 1)
+                    )
+                ).alias("_tok"),
+            )
+            .distinct()
+        )
+        masked = covered.groupBy("_id").agg(
+            F.count(F.lit(1)).alias("n_masked")
+        )
+        out = df.join(
+            masked.withColumnRenamed("_id", id_column), id_column, "left"
+        )
+        n_masked = F.coalesce(F.col("n_masked"), F.lit(0)).cast("long")
+        n_tok = token_count(F.col(text_column))
+        return out.select(
+            *df.columns,
+            n_masked.alias("n_masked"),
+            F.when(n_tok > 0, n_masked / n_tok)
+            .otherwise(F.lit(0.0))
+            .alias("dup_ratio"),
+        )
+
+    _transform.__name__ = "mask_duplicate_spans"
+    return _transform

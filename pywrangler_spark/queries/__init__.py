@@ -47,7 +47,7 @@ from pywrangler_spark.queries import text as _text  # noqa: E402,F401
 _PRIORITY = [
     # new in round 2 — never driver-verified
     "decontaminate_docs", "shard_docs", "heavy_hitter_terms",
-    "corpus_clean_pipeline", "lm_score_docs",
+    "corpus_clean_pipeline", "lm_score_docs", "dedup_span_mask",
     "resample_hourly_locf", "zscore_anomaly_events", "cap_docs_per_source",
     "repetition_quality_docs", "window_rank_suite", "approx_quantiles_prices",
     "variant_props_by_type", "source_mix_weights", "chunk_docs_by_tokens",

@@ -267,6 +267,49 @@ FROM documents d LEFT JOIN per_doc p USING (doc_id)
 """
 
 
+_SPAN_ORACLE = f"""
+WITH norm AS (
+    SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
+), grams AS (
+    SELECT doc_id, i - 1 AS pos, {_GRAM5_SQL} AS gh
+    FROM norm, UNNEST(range(1, len(w) - 3)) AS t(i)
+    WHERE len(w) >= 5
+), dup AS (
+    SELECT gh FROM grams GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= 2
+), covered AS (
+    SELECT DISTINCT g.doc_id, g.pos + o AS tok
+    FROM grams g JOIN dup USING (gh), UNNEST(range(0, 5)) AS u(o)
+), masked AS (
+    SELECT doc_id, COUNT(*) AS n_masked FROM covered GROUP BY 1
+), toks AS (
+    SELECT doc_id, {_TOKENS_SQL} AS n_tok FROM documents
+)
+SELECT d.doc_id,
+       CAST(COALESCE(m.n_masked, 0) AS BIGINT) AS n_masked,
+       ROUND(CASE WHEN t.n_tok > 0
+                  THEN COALESCE(m.n_masked, 0) * 1.0 / t.n_tok
+                  ELSE 0.0 END, 6) AS dup_ratio
+FROM documents d
+LEFT JOIN masked m USING (doc_id)
+JOIN toks t USING (doc_id)
+"""
+
+
+@register("dedup_span_mask", oracle=_SPAN_ORACLE)
+def dedup_span_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pywrangler_spark.operators.spandedup import mask_duplicate_spans
+
+    return (
+        _docs(spark, sf_dir)
+        .transform(mask_duplicate_spans("doc_id", "text", n=5, min_docs=2))
+        .select(
+            "doc_id",
+            "n_masked",
+            F.round("dup_ratio", 6).alias("dup_ratio"),
+        )
+    )
+
+
 @register("lm_score_docs", oracle=_LM_ORACLE)
 def lm_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pywrangler_spark.operators.lmscore import (
