@@ -69,12 +69,14 @@ def quality_alpha_ratio(col: Column) -> Column:
     return alpha * 1.0 / F.nullif(F.length(col), F.lit(0))
 
 
-def shingles_from_words(w: Column, k: int = 3) -> Column:
-    """Distinct word k-shingles from an (already materialized) token-array
-    column. Prefer this over :func:`word_shingles` in staged plans: ``w``
-    is referenced k+1 times here, so it should be a plain column, not an
-    inlined tokenization expression (Catalyst does not CSE across array
-    lambdas)."""
+def shingles_from_words(w: Column, k: int = 3, distinct: bool = True) -> Column:
+    """Word k-shingles from an (already materialized) token-array
+    column — distinct by default; ``distinct=False`` keeps every
+    positional occurrence (index i of the result = shingle starting at
+    token i, which span-level dedup relies on). Prefer this over
+    :func:`word_shingles` in staged plans: ``w`` is referenced k+1 times
+    here, so it should be a plain column, not an inlined tokenization
+    expression (Catalyst does not CSE across array lambdas)."""
     idx = F.sequence(F.lit(0), F.size(w) - k)
     shingle = F.transform(
         idx,
@@ -85,7 +87,8 @@ def shingles_from_words(w: Column, k: int = 3) -> Column:
     # guard: sequence(0, n) with n < 0 DESCENDS ([0, -1, ...]) instead of
     # being empty, and element_at would then index out of bounds — short
     # documents must yield an empty shingle array
-    return F.when(F.size(w) >= k, F.array_distinct(shingle)).otherwise(
+    out = F.array_distinct(shingle) if distinct else shingle
+    return F.when(F.size(w) >= k, out).otherwise(
         F.array().cast("array<string>")
     )
 

@@ -58,7 +58,12 @@ def gram_hash_stream(
         *id_names,
         F.explode(shingles_from_words(F.col("_w"), n)).alias("_g"),
     )
-    return exploded.select(*id_names, hash56(F.col("_g")).alias("_gh"))
+    # at n=1 a zero-word document tokenizes to [''] and would emit one
+    # spurious empty gram; grams with n>=2 always contain a space
+    return (
+        exploded.filter(F.col("_g") != "")
+        .select(*id_names, hash56(F.col("_g")).alias("_gh"))
+    )
 
 
 def contamination_overlap(
@@ -89,10 +94,14 @@ def contamination_overlap(
         corpus_grams = gram_hash_stream(df, text_column, n, id_column)
         # broadcast the eval-gram set: the corpus never shuffles here,
         # and only matched grams continue to the aggregation
+        # plain count: corpus grams are per-doc distinct (array_distinct
+        # in the shingle helper) and the eval side is .distinct(), so the
+        # matched (_id, _gh) pairs are already unique — a distinct
+        # aggregate would force two-phase aggregation for no gain
         matched = (
             corpus_grams.join(F.broadcast(eval_grams), "_gh")
             .groupBy("_id")
-            .agg(F.count_distinct("_gh").alias("n_overlap"))
+            .agg(F.count(F.lit(1)).alias("n_overlap"))
         )
         out = df.join(
             matched.withColumnRenamed("_id", id_column), id_column, "left"

@@ -33,10 +33,8 @@ from typing import Callable, Union
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pywrangler_spark.functions.hashing import hash56
 from pywrangler_spark.functions.text import words
-
-_BUCKETS = 10_000
+from pywrangler_spark.operators.sampling import _BUCKETS, _bucket
 
 
 def top_terms_sampled(
@@ -61,18 +59,12 @@ def top_terms_sampled(
         raise ValueError(
             f"sample_fraction must be in (0, 1], got {sample_fraction}"
         )
+    if slack < 1:
+        raise ValueError(f"slack must be >= 1, got {slack}")
 
     def _transform(df: DataFrame) -> DataFrame:
-        bucket = F.pmod(
-            hash56(
-                F.concat_ws(
-                    ":", F.lit(str(seed)), F.col(id_column).cast("string")
-                )
-            ),
-            F.lit(_BUCKETS),
-        )
         tokens = df.select(
-            bucket.alias("_b"),
+            _bucket(id_column, seed).alias("_b"),
             F.explode(words(F.col(text_column))).alias("term"),
         ).filter(F.col("term") != "")
         candidates = (

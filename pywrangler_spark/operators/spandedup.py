@@ -34,7 +34,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pywrangler_spark.functions.hashing import hash56
-from pywrangler_spark.functions.text import token_count, words
+from pywrangler_spark.functions.text import (
+    shingles_from_words,
+    token_count,
+    words,
+)
 
 
 def _positional_grams(
@@ -50,28 +54,13 @@ def _positional_grams(
     )
     exploded = tokenized.filter(F.size("_w") >= n).select(
         "_id",
-        F.posexplode(_all_shingles("_w", n)).alias("_pos", "_g"),
+        F.posexplode(
+            shingles_from_words(F.col("_w"), n, distinct=False)
+        ).alias("_pos", "_g"),
     )
-    return exploded.select("_id", "_pos", hash56(F.col("_g")).alias("_gh"))
-
-
-def _all_shingles(w: str, n: int):
-    """Positional (non-distinct) shingle array from a materialized
-    token-array column — ``shingles_from_words`` minus the distinct."""
-    col = F.col(w)
-    idx = F.sequence(F.lit(0), F.size(col) - n)
-    shingle = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ",
-            *[
-                F.element_at(col, (i + j + 1).cast("int"))
-                for j in range(n)
-            ],
-        ),
-    )
-    return F.when(F.size(col) >= n, shingle).otherwise(
-        F.array().cast("array<string>")
+    # n=1 zero-word guard, as in decontaminate.gram_hash_stream
+    return exploded.filter(F.col("_g") != "").select(
+        "_id", "_pos", hash56(F.col("_g")).alias("_gh")
     )
 
 

@@ -220,16 +220,26 @@ def _hash56_py(s: str) -> int:
 
 
 def _normalize_py(s: str) -> str:
-    """Python twin of ``functions.text.normalize_text``."""
+    """Python twin of ``functions.text.normalize_text``. The whitespace
+    class is spelled out because Python's ``\\s`` is Unicode-aware (it
+    would split on NBSP etc.) while the JVM/DuckDB ``\\s`` the Spark
+    operators and oracles use is ASCII-only."""
     import re
 
-    return re.sub(r"\s+", " ", str(s).lower()).strip()
+    return re.sub(r"[ \t\n\r\f\x0b]+", " ", str(s).lower()).strip()
 
 
-def _gram_hashes_py(text: str, n: int) -> set:
+def _gram_hashes_py(text, n: int) -> set:
     """Distinct word n-gram hash56 set — twin of
-    ``operators.decontaminate._gram_hashes``."""
-    w = _normalize_py(text).split(" ")
+    ``operators.decontaminate.gram_hash_stream``. NULL/empty text has
+    no words, hence no grams (matching the Spark NULL-propagation and
+    empty-gram filter)."""
+    if text is None or (isinstance(text, float) and np.isnan(text)):
+        return set()
+    norm = _normalize_py(text)
+    if norm == "":
+        return set()
+    w = norm.split(" ")
     if len(w) < n:
         return set()
     return {

@@ -10,7 +10,6 @@ import os
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pywrangler_spark.functions.hashing import hash56
 from pywrangler_spark.queries import register
 from pywrangler_spark.sources import read_parquet
 
@@ -29,12 +28,9 @@ def _bucket_sql(seed: str) -> str:
 
 
 def _bucket_col(seed: str) -> Column:
-    return F.pmod(
-        hash56(
-            F.concat_ws(":", F.lit(seed), F.col("doc_id").cast("string"))
-        ),
-        F.lit(10_000),
-    )
+    from pywrangler_spark.operators.sampling import _bucket
+
+    return _bucket("doc_id", seed)
 
 
 # ---- benchmark decontamination --------------------------------------------

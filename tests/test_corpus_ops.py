@@ -145,3 +145,37 @@ class TestTopTermsSampled:
             top_terms_sampled("text", "doc_id", k=0)
         with pytest.raises(ValueError):
             top_terms_sampled("text", "doc_id", k=5, sample_fraction=0.0)
+
+
+class TestReviewRegressions:
+    def test_unigram_contamination_ignores_empty_docs(self, spark):
+        # n=1: a zero-word eval doc must not contribute an empty gram
+        eval_df = spark.createDataFrame([("",), ("   ",)], ["text"])
+        corpus = spark.createDataFrame(
+            [(1, ""), (2, "word")], ["doc_id", "text"]
+        )
+        out = {
+            r["doc_id"]: r["contaminated"]
+            for r in corpus.transform(
+                contamination_overlap(eval_df, n=1)
+            ).collect()
+        }
+        assert out == {1: False, 2: False}
+
+    def test_span_mask_empty_docs_at_n1(self, spark):
+        from pywrangler_spark.operators.spandedup import mask_duplicate_spans
+
+        df = spark.createDataFrame(
+            [(1, ""), (2, ""), (3, "x"), (4, "x")], ["doc_id", "text"]
+        )
+        out = {
+            r["doc_id"]: r["n_masked"]
+            for r in df.transform(
+                mask_duplicate_spans(n=1, min_docs=2)
+            ).collect()
+        }
+        assert out == {1: 0, 2: 0, 3: 1, 4: 1}
+
+    def test_heavyhitters_rejects_bad_slack(self, spark):
+        with pytest.raises(ValueError):
+            top_terms_sampled("text", "doc_id", k=5, slack=0)

@@ -266,3 +266,35 @@ class TestCorpusTwins:
         got_pandas = pdf.pipe(pandas_shuffle_to_shards("doc_id", 4, seed="tw"))
         for _, r in got_pandas.iterrows():
             assert got_spark[r.doc_id] == (r.shard, r.pos), r
+
+
+class TestGramTwinEdgeCases:
+    def test_ascii_whitespace_class_matches_jvm(self, spark):
+        # NBSP is NOT whitespace to the JVM/DuckDB \s the operators use;
+        # the Python twin must agree (Python's \s would split on it)
+        from pywrangler_spark.operators.decontaminate import (
+            contamination_overlap,
+        )
+        from pywrangler_spark.pandas_engine import (
+            pandas_contamination_overlap,
+        )
+
+        text = "foo bar one two three four"
+        pdf = pd.DataFrame({"doc_id": [1], "text": [text]})
+        sdf = spark.createDataFrame(pdf)
+        got_spark = (
+            sdf.transform(contamination_overlap(sdf, n=5))
+            .collect()[0]["n_overlap"]
+        )
+        got_pandas = pdf.pipe(pandas_contamination_overlap(pdf, n=5)).iloc[
+            0
+        ]["n_overlap"]
+        assert got_spark == got_pandas > 0
+
+    def test_null_text_yields_no_grams(self):
+        from pywrangler_spark.pandas_engine import _gram_hashes_py
+
+        assert _gram_hashes_py(None, 1) == set()
+        assert _gram_hashes_py(float("nan"), 1) == set()
+        assert _gram_hashes_py("", 1) == set()
+        assert _gram_hashes_py("   ", 1) == set()
