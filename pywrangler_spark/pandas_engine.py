@@ -278,6 +278,59 @@ def pandas_contamination_overlap(
     return _transform
 
 
+def pandas_mask_duplicate_spans(
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    n: int = 5,
+    min_docs: int = 2,
+) -> Any:
+    """Pandas twin of ``operators.spandedup.mask_duplicate_spans`` —
+    same md5-gram semantics; appends ``n_masked`` and ``dup_ratio``."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+
+    def _grams(text):
+        if text is None or (isinstance(text, float) and np.isnan(text)):
+            return []
+        norm = _normalize_py(text)
+        if norm == "":
+            return []
+        w = norm.split(" ")
+        return [
+            (i, _hash56_py(" ".join(w[i : i + n])))
+            for i in range(len(w) - n + 1)
+        ]
+
+    def _transform(df: pd.DataFrame) -> pd.DataFrame:
+        per_doc = {
+            r[id_column]: _grams(r[text_column])
+            for _, r in df.iterrows()
+        }
+        docs_per_gram: dict = {}
+        for doc, grams in per_doc.items():
+            for _, gh in grams:
+                docs_per_gram.setdefault(gh, set()).add(doc)
+        dup = {g for g, d in docs_per_gram.items() if len(d) >= min_docs}
+        out = df.copy()
+        masked, ratios = [], []
+        for _, r in df.iterrows():
+            covered: set = set()
+            for pos, gh in per_doc[r[id_column]]:
+                if gh in dup:
+                    covered.update(range(pos, pos + n))
+            norm = _normalize_py(r[text_column]) if r[text_column] is not None else ""
+            n_tok = 0 if norm == "" else len(norm.split(" "))
+            masked.append(len(covered))
+            ratios.append(len(covered) / n_tok if n_tok > 0 else 0.0)
+        out["n_masked"] = pd.Series(masked, index=df.index, dtype="int64")
+        out["dup_ratio"] = pd.Series(ratios, index=df.index, dtype="float64")
+        return out
+
+    return _transform
+
+
 def pandas_shuffle_to_shards(
     id_column: str,
     num_shards: int,

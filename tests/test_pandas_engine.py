@@ -298,3 +298,33 @@ class TestGramTwinEdgeCases:
         assert _gram_hashes_py(float("nan"), 1) == set()
         assert _gram_hashes_py("", 1) == set()
         assert _gram_hashes_py("   ", 1) == set()
+
+
+class TestSpanMaskTwin:
+    def test_engines_agree(self, spark):
+        rng = random.Random(5)
+        vocab = ["a", "b", "c", "d", "e", "f", "g", "h"]
+        pdf = pd.DataFrame(
+            {
+                "doc_id": range(40),
+                "text": [
+                    " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 15)))
+                    for _ in range(40)
+                ],
+            }
+        )
+        from pywrangler_spark.operators.spandedup import mask_duplicate_spans
+        from pywrangler_spark.pandas_engine import pandas_mask_duplicate_spans
+
+        got_spark = {
+            r["doc_id"]: (r["n_masked"], round(r["dup_ratio"], 9))
+            for r in spark.createDataFrame(pdf)
+            .transform(mask_duplicate_spans(n=4, min_docs=2))
+            .collect()
+        }
+        got_pandas = pdf.pipe(pandas_mask_duplicate_spans(n=4, min_docs=2))
+        for _, r in got_pandas.iterrows():
+            assert got_spark[r["doc_id"]] == (
+                r["n_masked"],
+                round(r["dup_ratio"], 9),
+            ), r
