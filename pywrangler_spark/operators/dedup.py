@@ -170,43 +170,70 @@ def minhash_signatures(
     return _transform
 
 
-def minhash_lsh_pairs(
-    id_column: str,
-    text_column: str,
-    num_hashes: int = 16,
-    bands: int = 4,
-    shingle_k: int = 3,
-    seed: int = 42,
-    min_signature_similarity: float = 0.5,
-) -> Callable[[DataFrame], DataFrame]:
-    """Near-duplicate candidate pairs via banded MinHash-LSH.
+class MinHashLSHPairs:
+    """Near-duplicate candidate pairs via banded MinHash-LSH, as a
+    callable transform **with a cache lifecycle**.
 
     rows-per-band r = num_hashes // bands; two documents collide when any
     band of their signatures is identical. Collisions are then scored by
     full-signature agreement and filtered at ``min_signature_similarity``.
 
+    The signature table is consumed three times (banding + two scoring
+    joins), so each ``__call__`` persists it. A lazy transform has no
+    natural unpersist point — the cache must outlive the *query*, not the
+    process — so the instance keeps a handle to every DataFrame it
+    persisted and :meth:`release` unpersists them once the result has
+    been consumed (the same pattern ``pipeline.PipelineCacher`` uses for
+    stage caches). Long-lived services: ``op = MinHashLSHPairs(...)``,
+    ``df.transform(op)``, act, then ``op.release()``.
+
     Output: (id_a, id_b, sig_similarity), id_a < id_b.
     """
-    if num_hashes % bands:
-        raise ValueError("num_hashes must be divisible by bands")
-    r = num_hashes // bands
 
-    def _transform(df: DataFrame) -> DataFrame:
+    def __init__(
+        self,
+        id_column: str,
+        text_column: str,
+        num_hashes: int = 16,
+        bands: int = 4,
+        shingle_k: int = 3,
+        seed: int = 42,
+        min_signature_similarity: float = 0.5,
+    ) -> None:
+        if num_hashes % bands:
+            raise ValueError("num_hashes must be divisible by bands")
+        self.id_column = id_column
+        self.text_column = text_column
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.shingle_k = shingle_k
+        self.seed = seed
+        self.min_signature_similarity = min_signature_similarity
+        self._persisted: List[DataFrame] = []
+
+    def release(self) -> None:
+        """Unpersist every signature cache created by this instance
+        (blocking, so executor storage is freed before returning)."""
+        while self._persisted:
+            self._persisted.pop().unpersist(blocking=True)
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        num_hashes, bands = self.num_hashes, self.bands
+        r = num_hashes // bands
+        min_signature_similarity = self.min_signature_similarity
+
         sigs = df.transform(
             minhash_signatures(
-                id_column, text_column, num_hashes, shingle_k, seed
+                self.id_column, self.text_column, num_hashes,
+                self.shingle_k, self.seed,
             )
         )
-        # consumed three times below (banding + two scoring joins): persist
-        # so shingling+minhash runs once. The signature table is tiny next
-        # to the corpus (id + num_hashes longs per doc). NOTE the cache
-        # entry outlives the query (a lazy transform has no unpersist
-        # hook) and is only reclaimed by executor-memory LRU eviction or
-        # spark.catalog.clearCache(); long-lived services calling this in
-        # a loop should clear the cache periodically.
+        # The signature table is tiny next to the corpus (id + num_hashes
+        # longs per doc); persist so shingling+minhash runs once.
         from pyspark import StorageLevel
 
         sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+        self._persisted.append(sigs)
         # The candidate stream shuffles IDS ONLY: the band self-join and the
         # pair dedup move (band, bh, id) rows — 8-byte ids, never the
         # num_hashes-long signatures. Signatures are joined back AFTER the
@@ -261,7 +288,24 @@ def minhash_lsh_pairs(
             .filter(F.col("sig_similarity") >= min_signature_similarity)
         )
 
-    return _transform
+
+def minhash_lsh_pairs(
+    id_column: str,
+    text_column: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    seed: int = 42,
+    min_signature_similarity: float = 0.5,
+) -> MinHashLSHPairs:
+    """Functional form of :class:`MinHashLSHPairs` (drop-in for
+    ``df.transform(minhash_lsh_pairs(...))``). Keep the returned object
+    if you need :meth:`MinHashLSHPairs.release` to free the signature
+    cache after consuming the result."""
+    return MinHashLSHPairs(
+        id_column, text_column, num_hashes, bands, shingle_k, seed,
+        min_signature_similarity,
+    )
 
 
 def ngram_jaccard_pairs(

@@ -11,9 +11,9 @@ Two-phase, fit-once/score-many (the same split the ANN operators use):
   rows against a 100 TB corpus — so scoring broadcasts it.
 - **score**: explode tokens, broadcast-join the model, aggregate
   ``mean(-ln p(token))`` per document. OOV tokens (outside the capped
-  vocabulary) score at the floor probability ``oov_mass / total``, so
-  rare-junk documents rank measurably worse instead of crashing the
-  join. The per-doc aggregation is the only exchange, and the combiner
+  vocabulary) score at the constant floor probability ``oov_p``
+  (caller-supplied, default 1e-9), so rare-junk documents rank
+  measurably worse instead of crashing the join. The per-doc aggregation is the only exchange, and the combiner
   pre-reduces (doc_id, partial sum) map-side.
 
 Lower score = more typical of the corpus; gate with

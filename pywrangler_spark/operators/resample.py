@@ -101,9 +101,12 @@ def resample_locf(
         grid = span.select(
             *groups,
             F.explode(
+                # integer `div`, not float `/` + cast: double division is
+                # only exact while |epoch_us| < 2^53 (same hazard the
+                # parquet source documents for its NTZ normalization)
                 F.sequence(
-                    (F.col("_lo") / step_us).cast("long"),
-                    (F.col("_hi") / step_us).cast("long"),
+                    F.expr(f"_lo div {step_us}L"),
+                    F.expr(f"_hi div {step_us}L"),
                 )
             ).alias("_bidx"),
         ).select(*groups, (F.col("_bidx") * step_us).alias("_bucket_us"))

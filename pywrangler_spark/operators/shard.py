@@ -49,6 +49,13 @@ def shuffle_to_shards(
         raise ValueError(f"num_shards must be >= 1, got {num_shards}")
 
     def _transform(df: DataFrame) -> DataFrame:
+        clash = {shard_column, position_column, "__h"} & set(df.columns)
+        if clash:
+            raise ValueError(
+                "shuffle_to_shards output/internal column(s) "
+                f"{sorted(clash)} already exist in the input; rename them "
+                "or pass different shard_column/position_column names"
+            )
         h = hash56(
             F.concat_ws(
                 ":", F.lit(str(seed)), F.col(id_column).cast("string")

@@ -145,6 +145,7 @@ def topk_cosine_lsh(
     query_filter: Optional[Column] = None,
     multiprobe: bool = True,
     dim: Optional[int] = None,
+    probe_dim: bool = False,
 ) -> Callable[[DataFrame], DataFrame]:
     """Approximate top-k cosine neighbours via random-hyperplane LSH.
 
@@ -156,11 +157,19 @@ def topk_cosine_lsh(
     Output schema matches :func:`topk_cosine`; recall is validated against
     it in the test suite.
 
-    Pass ``dim`` (the embedding width — a schema-level fact the caller
-    knows) so plan construction is purely declarative. When omitted, a
-    one-row metadata probe runs at build time — fine interactively, but a
-    driver-side action a production pipeline should avoid.
+    ``dim`` (the embedding width — a schema-level fact the caller knows)
+    is required so plan construction is purely declarative. For
+    interactive use only, ``probe_dim=True`` opts in to a one-row
+    metadata probe at build time — a driver-side action a production
+    pipeline must not take, hence the explicit opt-in.
     """
+    if dim is None and not probe_dim:
+        raise ValueError(
+            "topk_cosine_lsh requires dim= (the embedding width); plan "
+            "construction must not run driver-side actions. Pass "
+            "probe_dim=True to explicitly opt in to a one-row probe for "
+            "interactive use."
+        )
 
     def _transform(df: DataFrame) -> DataFrame:
         d = dim if dim is not None else len(

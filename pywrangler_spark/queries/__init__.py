@@ -45,41 +45,36 @@ from pywrangler_spark.queries import text as _text  # noqa: E402,F401
 # representative per verified family, then the redundant TPC-H variants
 # (mutually similar star-join/agg shapes) last.
 _PRIORITY = [
-    # new in round 2 — never driver-verified
+    # never driver-verified: positions 51-57 of the round-2 order sat just
+    # past the driver's 50-row window (judge-verified locally only) —
+    # rotate them to the very front so the driver owns the signal
+    "approx_distinct_parts", "histogram_extendedprice",
+    "multimodal_features", "nullsafe_join_segments",
+    "profile_lineitem_columns", "q11_important_parts",
+    "q20_recent_part_suppliers",
+    # least-recently-verified: round-1-green families with no round-2 row
+    "interval_first_first", "interval_first_last", "interval_last_last",
+    "interval_identical_markers", "interval_raw_ids", "interval_valid_ids",
+    "interval_last_first", "interval_global_timeline",
+    "dedup_exact_groups", "dedup_exact_rows", "dedup_ngram_jaccard",
+    "dedup_simhash", "dedup_clusters_jaccard", "salted_priority_revenue",
+    "q1_pricing_summary", "q2_min_cost_supplier", "q3_shipping_priority",
+    "q4_order_priority", "q5_local_supplier_volume", "q6_forecast_revenue",
+    "q7_nation_volume", "q8_market_share", "q9_product_profit",
+    "q10_returned_items", "q12_late_shipments", "q13_order_distribution",
+    "q14_promo_revenue", "q15_top_supplier", "q16_supplier_diversity",
+    "q17_small_quantity_revenue", "q18_large_orders",
+    "q19_discounted_revenue", "q21_waiting_supplier",
+    "q22_dormant_balances", "distinct_counts", "rollup_pricing",
+    "cube_quantities", "pivot_status_revenue", "groupingsets_order_revenue",
+    "quantiles_prices", "setops_building_big_spenders",
+    "argmax_order_per_priority", "unpivot_lineitem_measures",
+    "topk_expensive_orders", "multimodal_blob_stats",
+    # round-2-green (driver rows exist) — representatives after the above
     "decontaminate_docs", "shard_docs", "heavy_hitter_terms",
     "corpus_clean_pipeline", "lm_score_docs", "dedup_span_mask",
-    "resample_hourly_locf", "zscore_anomaly_events", "cap_docs_per_source",
-    "repetition_quality_docs", "window_rank_suite", "approx_quantiles_prices",
-    "variant_props_by_type", "source_mix_weights", "chunk_docs_by_tokens",
-    # temporal joins / windows / event ops — no driver row in round 1
-    "asof_click_attribution", "timebucket_hourly", "rangejoin_click_windows",
-    "intervaljoin_error_shadow", "rolling_7d_user_value", "user_value_trend",
-    "ffill_user_values", "latest_event_per_user", "scd2_user_history",
-    "changelog_compress_events", "json_props_by_type", "hopping_hourly_30m",
-    "funnel_view_click_purchase", "cohort_weekly_retention",
-    "cdc_upsert_events", "ohlc_hourly_by_type", "twa_user_value",
-    "journey_prefix_counts",
-    # text / search / sampling / chunking / packing — no driver row
-    "text_stats", "lang_id", "bm25_search_docs", "hash_split_docs",
-    "stratified_sample_docs", "chunk_documents_200", "quality_gate_docs",
-    "vocab_top_terms", "pack_docs_512",
-    # ANN + embeddings — no driver row / new recall oracles
-    "ann_topk_bruteforce", "ann_topk_lsh", "ann_topk_ivf",
-    "embedding_neardup_pairs", "ann_topk_int8", "embedding_label_centroids",
-    # changed or newly-oracled this round
-    "sessionize_gap_1d", "dedup_minhash_lsh", "multimodal_features",
-    "approx_distinct_parts",
-    # relational shapes without a round-1 driver row
-    "q11_important_parts", "q20_recent_part_suppliers",
-    "profile_lineitem_columns", "histogram_extendedprice",
-    "nullsafe_join_segments",
-    # one representative per already-verified family
-    "dedup_exact_groups", "dedup_ngram_jaccard", "dedup_simhash",
-    "dedup_clusters_jaccard", "interval_last_first",
-    "interval_global_timeline", "multimodal_blob_stats",
-    "salted_priority_revenue",
-    # everything else (TPC-H variants, remaining interval configs) keeps
-    # its module order after the prioritized block
+    "dedup_minhash_lsh", "sessionize_gap_1d",
+    # everything else keeps its module order after the prioritized block
 ]
 
 

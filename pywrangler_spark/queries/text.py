@@ -452,7 +452,14 @@ def repetition_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("c").cast("double").alias("btop_c"),
         )
     )
-    joined = wstats.join(bstats, "doc_id", "left")
+    # left-join the stats onto the full doc_id spine: a NULL/empty text
+    # yields no exploded rows, but the document must still appear (with
+    # NULL ratios) exactly as the oracle keeps one row per document
+    joined = (
+        base.select("doc_id")
+        .join(wstats, "doc_id", "left")
+        .join(bstats, "doc_id", "left")
+    )
     return joined.select(
         "doc_id",
         F.round(

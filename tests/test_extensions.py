@@ -11,6 +11,7 @@ from pyspark.sql import Row
 from pyspark.sql import functions as F
 
 from pywrangler_spark.operators.dedup import (
+    MinHashLSHPairs,
     dedup_exact,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -92,6 +93,27 @@ class TestDedup:
         for doc_id in range(3):
             assert rows.get(doc_id) == 1.0
 
+    def test_minhash_cache_release(self, spark, docs):
+        """The signature cache must not outlive the query: release()
+        unpersists every DataFrame the transform persisted (blocking),
+        and the result stays correct (recomputes from source) after."""
+        op = MinHashLSHPairs("doc_id", "text")
+        result = docs.transform(op)
+        n = result.count()  # materialize → signature cache populated
+        cached = list(op._persisted)
+        assert cached, "transform should have persisted the signatures"
+        assert all(
+            df.storageLevel.useMemory or df.storageLevel.useDisk
+            for df in cached
+        )
+        op.release()
+        assert not op._persisted
+        assert all(
+            not (df.storageLevel.useMemory or df.storageLevel.useDisk)
+            for df in cached
+        ), "release() must drop the persisted storage level"
+        assert result.count() == n
+
     def test_minhash_band_join_shuffles_ids_only(self, spark, docs):
         """The LSH candidate exchanges (hash-partitioned by band/bh, and the
         pair dedup by id_a/id_b) must NOT carry the minhash signatures —
@@ -135,13 +157,20 @@ class TestDedup:
 
 
 class TestSimilarity:
+    def test_lsh_requires_dim(self):
+        """Omitting dim without the probe_dim opt-in must fail fast at
+        factory time — plan construction never runs driver-side actions."""
+        with pytest.raises(ValueError, match="dim"):
+            topk_cosine_lsh("vec_id", "embedding")
+
     def test_lsh_recall_vs_bruteforce(self, spark, embeddings):
         qf = F.col("vec_id") % 25 == 0
         exact = topk_cosine("vec_id", "embedding", k=10, query_filter=qf)(
             embeddings
         )
         approx = topk_cosine_lsh(
-            "vec_id", "embedding", k=10, n_planes=8, query_filter=qf
+            "vec_id", "embedding", k=10, n_planes=8, query_filter=qf,
+            probe_dim=True,
         )(embeddings)
         e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
         a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
