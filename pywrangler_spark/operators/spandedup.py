@@ -19,10 +19,29 @@ Plan shape at 100 TB:
 2. duplicated-gram set: count DISTINCT doc_ids per gram hash
    (partial_count map-side) and keep ``>= min_docs`` — this set is NOT
    broadcastable in general (boilerplate scales with the corpus), so
-   the gram stream re-joins it on the hash: one shuffled equi-join,
-   AQE-handled skew (a mega-common gram is exactly a skewed key);
+   the gram stream re-joins it on the hash. A mega-common gram is
+   exactly a skewed join key, and **AQE's skew-join rule cannot fire
+   here**: ``OptimizeSkewedJoin`` only splits a skewed partition when
+   BOTH join children read bare shuffle stages, and the dup side has
+   its count-distinct aggregation between its exchange and the join
+   (verified empirically — a deliberately skewed corpus under
+   force-apply thresholds never produces a skewed AQEShuffleRead, and
+   an explicit repartition of the agg side is eliminated as
+   redundant). The operator therefore splits the join itself:
+
+   - **hot grams** (``>= hot_min_docs`` distinct docs) broadcast; the
+     gram stream probes them map-side, so a boilerplate gram's rows
+     never shuffle at all. The hot set is mass-bounded: at most
+     (total gram occurrences) / ``hot_min_docs`` grams can clear the
+     bar, so its size shrinks as the threshold rises — pick
+     ``hot_min_docs`` so that bound fits the broadcast budget
+     (e.g. 1e13 pairs / 1e5 docs → ≤1e8 hot grams worst-case; the
+     observed count is far lower because gram mass is zipfian).
+   - **cold grams** join shuffled, with per-key doc-fanout bounded by
+     ``hot_min_docs`` (intra-document repeats can still exceed the
+     bound rowwise; they are bounded by document length).
 3. covered positions: explode each hit's n-token window, distinct,
-   count per doc — the only rows past the join are positions inside
+   count per doc — the only rows past the joins are positions inside
    duplicated spans.
 """
 
@@ -69,6 +88,7 @@ def mask_duplicate_spans(
     text_column: str = "text",
     n: int = 5,
     min_docs: int = 2,
+    hot_min_docs: int = 100_000,
 ) -> Callable[[DataFrame], DataFrame]:
     """Append per-document duplicate-span statistics:
 
@@ -78,11 +98,22 @@ def mask_duplicate_spans(
       empty docs).
 
     Documents shorter than ``n`` words are never masked.
+
+    ``hot_min_docs`` is the hot/cold split point of the gram join (see
+    module docstring): grams in that many+ distinct documents take the
+    broadcast path (their occurrences never shuffle), the long tail
+    takes the shuffled join with per-key doc-fanout bounded by the
+    threshold. Any value ``> min_docs`` gives identical results — the
+    knob trades broadcast size against shuffle skew.
     """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
     if min_docs < 2:
         raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    if hot_min_docs < min_docs:
+        raise ValueError(
+            f"hot_min_docs must be >= min_docs, got {hot_min_docs}"
+        )
 
     def _transform(df: DataFrame) -> DataFrame:
         grams = _positional_grams(df, id_column, text_column, n)
@@ -90,11 +121,15 @@ def mask_duplicate_spans(
             grams.groupBy("_gh")
             .agg(F.count_distinct("_id").alias("_nd"))
             .filter(F.col("_nd") >= min_docs)
-            .select("_gh")
+        )
+        hot = dup.filter(F.col("_nd") >= hot_min_docs).select("_gh")
+        cold = dup.filter(F.col("_nd") < hot_min_docs).select("_gh")
+        # disjoint key sets → the union is exactly the single-join result
+        hits = grams.join(F.broadcast(hot), "_gh").unionByName(
+            grams.join(cold, "_gh")
         )
         covered = (
-            grams.join(dup, "_gh")
-            .select(
+            hits.select(
                 "_id",
                 F.explode(
                     F.sequence(

@@ -1,10 +1,12 @@
 """Structured Streaming variants of the batch operators."""
 
+from pywrangler_spark.streaming.caps import stream_cap_per_key
 from pywrangler_spark.streaming.cardinality import stream_window_cardinality
 from pywrangler_spark.streaming.decontaminate import stream_contamination_flag
 from pywrangler_spark.streaming.dedup import stream_dedup_exact
 from pywrangler_spark.streaming.interval import stream_identify_intervals
 from pywrangler_spark.streaming.join import stream_interval_join
+from pywrangler_spark.streaming.lmscore import stream_lm_score
 from pywrangler_spark.streaming.rollup import stream_time_bucket_rollup
 from pywrangler_spark.streaming.sessionize import stream_session_stats
 
@@ -16,4 +18,6 @@ __all__ = [
     "stream_interval_join",
     "stream_window_cardinality",
     "stream_contamination_flag",
+    "stream_lm_score",
+    "stream_cap_per_key",
 ]

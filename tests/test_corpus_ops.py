@@ -179,3 +179,46 @@ class TestReviewRegressions:
     def test_heavyhitters_rejects_bad_slack(self, spark):
         with pytest.raises(ValueError):
             top_terms_sampled("text", "doc_id", k=5, slack=0)
+
+
+class TestScaleSmoke:
+    def test_corpus_clean_pipeline_10x_sf01(self, spark, tmp_path_factory):
+        """First beyond-sf0.1 run: the full cleaning pipeline over the
+        sf0.1 documents replicated x10 (each doc has 10 exact copies
+        under distinct ids — a dedup stress). Pins that every stage
+        (quality gate, exact dedup, decontamination, split, shard)
+        completes at 10x the bench corpus and that dedup actually
+        collapses the copies."""
+        import os
+
+        from pyspark.sql import functions as F
+
+        from pywrangler_spark.queries import QUERIES
+        from pywrangler_spark.sources import read_parquet
+
+        docs = read_parquet(spark, "/root/testdata/sf0.1/documents.parquet")
+        big = docs
+        for i in range(1, 10):
+            big = big.unionByName(
+                docs.withColumn(
+                    "doc_id", F.col("doc_id") + F.lit(i * 1_000_000)
+                )
+            )
+        base = str(tmp_path_factory.mktemp("sf1x"))
+        big.write.parquet(os.path.join(base, "documents.parquet"))
+
+        out = QUERIES["corpus_clean_pipeline"](spark, base).collect()
+        assert out, "pipeline produced no shards"
+        n_docs = sum(r["n_docs"] for r in out)
+        baseline = sum(
+            r["n_docs"]
+            for r in QUERIES["corpus_clean_pipeline"](
+                spark, "/root/testdata/sf0.1"
+            ).collect()
+        )
+        # exact dedup keeps one of the 10 copies; the eval-set bucket and
+        # contamination gates shift membership a little (copies land in
+        # different eval buckets), so the collapsed corpus stays within a
+        # modest band of the single-copy run rather than 10x above it
+        assert n_docs <= 2 * baseline, (n_docs, baseline)
+        assert n_docs >= int(0.5 * baseline), (n_docs, baseline)

@@ -63,3 +63,93 @@ class TestMaskDuplicateSpans:
             mask_duplicate_spans(n=0)
         with pytest.raises(ValueError):
             mask_duplicate_spans(min_docs=1)
+
+
+class TestSkewedGramJoin:
+    """A boilerplate mega-gram is a skewed join key. AQE's skew rule
+    cannot split this join (the dup side's aggregation sits between its
+    shuffle and the join — verified empirically, see module docstring),
+    so the operator does its own hot/cold split: hot grams broadcast,
+    cold tail shuffled. These tests pin both the equivalence and the
+    plan shape of that split."""
+
+    @pytest.fixture(scope="class")
+    def skewed_docs(self, spark):
+        from pyspark.sql import functions as F
+
+        # 30% of 20k docs are exactly the same 5-word boilerplate (one
+        # mega-gram in 6000 distinct docs); the rest are unique 6-word
+        # texts (every gram unique)
+        boiler = "copyright acme corporation all rights"
+        return spark.range(20_000).select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") % 10 < 3, F.lit(boiler))
+            .otherwise(
+                F.concat_ws(
+                    " ",
+                    *[
+                        F.concat(F.lit(f"w{s}"), F.col("id").cast("string"))
+                        for s in "abcdef"
+                    ],
+                )
+            )
+            .alias("text"),
+        )
+
+    def _mask_sum(self, df, hot_min_docs):
+        from pyspark.sql import functions as F
+
+        return (
+            df.transform(
+                mask_duplicate_spans(n=5, min_docs=2,
+                                     hot_min_docs=hot_min_docs)
+            )
+            .agg(
+                F.sum("n_masked").alias("s"),
+                F.count(F.lit(1)).alias("c"),
+            )
+            .first()
+        )
+
+    def test_hot_and_cold_paths_agree(self, spark, skewed_docs):
+        # threshold below the mega-gram's doc count → broadcast path;
+        # threshold above it → everything through the shuffled join
+        hot = self._mask_sum(skewed_docs, hot_min_docs=10)
+        cold = self._mask_sum(skewed_docs, hot_min_docs=10_000_000)
+        assert hot == cold
+        # 6000 boilerplate docs x 5 masked tokens
+        assert hot["s"] == 30_000 and hot["c"] == 20_000
+
+    def test_hot_grams_take_the_broadcast_join(self, spark, skewed_docs):
+        """With auto-broadcast disabled, the only BroadcastHashJoin in
+        the plan is the explicit hot-gram probe — the mega-gram's rows
+        never enter a shuffle — while the cold tail keeps the shuffled
+        equi-join."""
+        from pywrangler_spark.plans.inspect import explain_string
+
+        keys = (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+        old = {k: spark.conf.get(k, None) for k in keys}
+        for k in keys:
+            spark.conf.set(k, "-1")
+        try:
+            plan = explain_string(
+                skewed_docs.transform(
+                    mask_duplicate_spans(n=5, min_docs=2, hot_min_docs=10)
+                )
+            )
+        finally:
+            for k, v in old.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+        # the hot probe survives threshold=-1 because it is an explicit
+        # broadcast hint; everything else must stay shuffled. Count in
+        # the plan TREE only (the formatted details section repeats
+        # every node)
+        tree = plan.split("\n\n")[0]
+        assert tree.count("BroadcastHashJoin") == 1
+        assert "SortMergeJoin" in tree or "ShuffledHashJoin" in tree

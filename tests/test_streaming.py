@@ -387,30 +387,31 @@ class TestStreamingCardinality:
             assert batch[k] == v, (k, v, batch.get(k))
 
 
-class TestStreamingDecontamination:
-    @pytest.fixture(scope="class")
-    def docs_stream_dir(self, spark, tmp_path_factory):
-        base = str(tmp_path_factory.mktemp("docs_stream"))
-        docs = read_parquet(spark, f"{SF}/documents.parquet")
-        files_dir = os.path.join(base, "files")
-        os.makedirs(files_dir)
-        half = docs.count() // 2
-        docs.filter(F.col("doc_id") < half).coalesce(1).write.parquet(
-            os.path.join(base, "b0")
-        )
-        docs.filter(F.col("doc_id") >= half).coalesce(1).write.parquet(
-            os.path.join(base, "b1")
-        )
-        n = 0
-        for sub in ("b0", "b1"):
-            for name in sorted(os.listdir(os.path.join(base, sub))):
-                if name.endswith(".parquet"):
-                    dest = os.path.join(files_dir, f"{n:03d}.parquet")
-                    shutil.copy(os.path.join(base, sub, name), dest)
-                    os.utime(dest, (1_700_000_000 + n * 60,) * 2)
-                    n += 1
-        return files_dir
+@pytest.fixture(scope="module")
+def docs_stream_dir(spark, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("docs_stream"))
+    docs = read_parquet(spark, f"{SF}/documents.parquet")
+    files_dir = os.path.join(base, "files")
+    os.makedirs(files_dir)
+    half = docs.count() // 2
+    docs.filter(F.col("doc_id") < half).coalesce(1).write.parquet(
+        os.path.join(base, "b0")
+    )
+    docs.filter(F.col("doc_id") >= half).coalesce(1).write.parquet(
+        os.path.join(base, "b1")
+    )
+    n = 0
+    for sub in ("b0", "b1"):
+        for name in sorted(os.listdir(os.path.join(base, sub))):
+            if name.endswith(".parquet"):
+                dest = os.path.join(files_dir, f"{n:03d}.parquet")
+                shutil.copy(os.path.join(base, sub, name), dest)
+                os.utime(dest, (1_700_000_000 + n * 60,) * 2)
+                n += 1
+    return files_dir
 
+
+class TestStreamingDecontamination:
     def test_flags_match_batch(self, spark, docs_stream_dir):
         from pywrangler_spark.operators.decontaminate import (
             contamination_overlap,
@@ -448,3 +449,89 @@ class TestStreamingDecontamination:
         )
         with pytest.raises(ValueError, match="static"):
             stream_contamination_flag(sdf)
+
+
+class TestStreamingLMScore:
+    def test_scores_match_batch(self, spark, docs_stream_dir):
+        from pywrangler_spark.operators.lmscore import (
+            fit_unigram_model,
+            unigram_logprob_score,
+        )
+        from pywrangler_spark.streaming import stream_lm_score
+
+        docs = read_parquet(spark, f"{SF}/documents.parquet")
+        # small vocab cap forces the OOV floor path on real tokens
+        model = docs.transform(fit_unigram_model("text", vocab_size=50))
+        batch = {
+            r["doc_id"]: r["lm_score"]
+            for r in docs.transform(
+                unigram_logprob_score(model, "doc_id", "text")
+            ).collect()
+        }
+        streamed = _run_stream(
+            spark,
+            stream_lm_score(model, "text"),
+            docs_stream_dir,
+            docs.schema,
+            "lmscore_sink",
+        )
+        got = {r["doc_id"]: r["lm_score"] for r in streamed.collect()}
+        assert set(got) == set(batch)
+        for doc_id, score in got.items():
+            expected = batch[doc_id]
+            if expected is None:
+                assert score is None
+            else:
+                assert score == pytest.approx(expected, rel=1e-9)
+
+    def test_rejects_streaming_model(self, spark, docs_stream_dir):
+        from pywrangler_spark.streaming import stream_lm_score
+
+        sdf = (
+            spark.readStream.schema("term string, p double")
+            .parquet(docs_stream_dir)
+        )
+        with pytest.raises(ValueError, match="static"):
+            stream_lm_score(sdf)
+
+
+class TestStreamingCapPerKey:
+    def test_matches_batch_first_n(self, spark, events_stream_dir):
+        """With a time-ordered source and deterministic intra-batch
+        order, the streamed cap equals the batch 'first N per key by
+        (ts, event_id)'."""
+        from pyspark.sql import Window
+
+        from pywrangler_spark.streaming import stream_cap_per_key
+
+        ev = read_parquet(spark, f"{SF}/events.parquet")
+        cap = 5
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").asc(), F.col("event_id").asc()
+        )
+        batch = {
+            r["event_id"]
+            for r in ev.select(
+                "event_id", F.row_number().over(w).alias("__rn")
+            )
+            .filter(F.col("__rn") <= cap)
+            .collect()
+        }
+        streamed = _run_stream(
+            spark,
+            stream_cap_per_key("user_id", cap, ["ts", "event_id"]),
+            events_stream_dir,
+            ev.schema,
+            "cap_sink",
+        )
+        got = [r["event_id"] for r in streamed.collect()]
+        assert len(got) == len(set(got))  # no row emitted twice
+        assert set(got) == batch
+
+    def test_validation(self):
+        from pywrangler_spark.streaming import stream_cap_per_key
+
+        with pytest.raises(ValueError, match="max_rows"):
+            stream_cap_per_key("k", 0)
+        with pytest.raises(ValueError, match="key"):
+            stream_cap_per_key([], 3)
