@@ -83,6 +83,40 @@ def _positional_grams(
     )
 
 
+def _covered_positions(
+    df: DataFrame,
+    id_column: str,
+    text_column: str,
+    n: int,
+    min_docs: int,
+    hot_min_docs: int,
+) -> DataFrame:
+    """Distinct ``(_id, _tok)`` token positions covered by some n-gram
+    occurring in ``min_docs``+ distinct documents, via the hot/cold
+    split join described in the module docstring."""
+    grams = _positional_grams(df, id_column, text_column, n)
+    dup = (
+        grams.groupBy("_gh")
+        .agg(F.count_distinct("_id").alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+    )
+    hot = dup.filter(F.col("_nd") >= hot_min_docs).select("_gh")
+    cold = dup.filter(F.col("_nd") < hot_min_docs).select("_gh")
+    # disjoint key sets → the union is exactly the single-join result
+    hits = grams.join(F.broadcast(hot), "_gh").unionByName(
+        grams.join(cold, "_gh")
+    )
+    return (
+        hits.select(
+            "_id",
+            F.explode(
+                F.sequence(F.col("_pos"), F.col("_pos") + F.lit(n - 1))
+            ).alias("_tok"),
+        )
+        .distinct()
+    )
+
+
 def mask_duplicate_spans(
     id_column: str = "doc_id",
     text_column: str = "text",
@@ -116,28 +150,8 @@ def mask_duplicate_spans(
         )
 
     def _transform(df: DataFrame) -> DataFrame:
-        grams = _positional_grams(df, id_column, text_column, n)
-        dup = (
-            grams.groupBy("_gh")
-            .agg(F.count_distinct("_id").alias("_nd"))
-            .filter(F.col("_nd") >= min_docs)
-        )
-        hot = dup.filter(F.col("_nd") >= hot_min_docs).select("_gh")
-        cold = dup.filter(F.col("_nd") < hot_min_docs).select("_gh")
-        # disjoint key sets → the union is exactly the single-join result
-        hits = grams.join(F.broadcast(hot), "_gh").unionByName(
-            grams.join(cold, "_gh")
-        )
-        covered = (
-            hits.select(
-                "_id",
-                F.explode(
-                    F.sequence(
-                        F.col("_pos"), F.col("_pos") + F.lit(n - 1)
-                    )
-                ).alias("_tok"),
-            )
-            .distinct()
+        covered = _covered_positions(
+            df, id_column, text_column, n, min_docs, hot_min_docs
         )
         masked = covered.groupBy("_id").agg(
             F.count(F.lit(1)).alias("n_masked")
@@ -156,4 +170,66 @@ def mask_duplicate_spans(
         )
 
     _transform.__name__ = "mask_duplicate_spans"
+    return _transform
+
+
+def excise_duplicate_spans(
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    n: int = 5,
+    min_docs: int = 2,
+    hot_min_docs: int = 100_000,
+    output_column: str = "masked_text",
+) -> Callable[[DataFrame], DataFrame]:
+    """Append ``output_column``: the NORMALIZED text with every
+    duplicated-span token removed — the excision step that turns the
+    mask statistics of :func:`mask_duplicate_spans` into cleaned
+    training text.
+
+    The masked token positions are exactly
+    :func:`mask_duplicate_spans`'s covered set (same hot/cold split
+    join); each document then rebuilds its text by a positional array
+    filter over its token array — scan-side, no extra shuffle beyond
+    the per-doc position aggregation. The output is whitespace-
+    normalized (the token stream every dedup operator here works on);
+    NULL text stays NULL, clean documents come back verbatim
+    (normalized).
+
+    Per-doc cost of the rebuild is O(tokens × masked positions) via the
+    membership probe — bounded by document length squared in the
+    worst (fully-boilerplate) case, which at n>=2 is bounded well
+    below typical document-length budgets; documents are capped
+    upstream by the chunker in any real pipeline.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    if hot_min_docs < min_docs:
+        raise ValueError(
+            f"hot_min_docs must be >= min_docs, got {hot_min_docs}"
+        )
+
+    from pywrangler_spark.functions.text import normalize_text
+
+    def _transform(df: DataFrame) -> DataFrame:
+        covered = _covered_positions(
+            df, id_column, text_column, n, min_docs, hot_min_docs
+        )
+        mtoks = covered.groupBy("_id").agg(
+            F.sort_array(F.collect_set("_tok")).alias("_mtoks")
+        )
+        out = df.join(
+            mtoks.withColumnRenamed("_id", id_column), id_column, "left"
+        )
+        kept = F.filter(
+            words(F.col(text_column)),
+            lambda x, i: ~F.array_contains(F.col("_mtoks"), i),
+        )
+        rebuilt = F.when(
+            F.col("_mtoks").isNull(), normalize_text(F.col(text_column))
+        ).otherwise(F.concat_ws(" ", kept))
+        return out.select(*df.columns, rebuilt.alias(output_column))
+
+    _transform.__name__ = "excise_duplicate_spans"
     return _transform

@@ -389,3 +389,64 @@ def pandas_latest_by_key(
         return ordered.groupby(keys, as_index=False, sort=False).tail(1)
 
     return _transform
+
+
+def pandas_excise_duplicate_spans(
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    n: int = 5,
+    min_docs: int = 2,
+    output_column: str = "masked_text",
+) -> Any:
+    """Pandas twin of ``operators.spandedup.excise_duplicate_spans`` —
+    appends the normalized text with duplicated-span tokens removed."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+
+    def _grams(text):
+        if text is None or (isinstance(text, float) and np.isnan(text)):
+            return []
+        norm = _normalize_py(text)
+        if norm == "":
+            return []
+        w = norm.split(" ")
+        return [
+            (i, _hash56_py(" ".join(w[i : i + n])))
+            for i in range(len(w) - n + 1)
+        ]
+
+    def _transform(df: pd.DataFrame) -> pd.DataFrame:
+        per_doc = {
+            r[id_column]: _grams(r[text_column])
+            for _, r in df.iterrows()
+        }
+        docs_per_gram: dict = {}
+        for doc, grams in per_doc.items():
+            for _, gh in grams:
+                docs_per_gram.setdefault(gh, set()).add(doc)
+        dup = {g for g, d in docs_per_gram.items() if len(d) >= min_docs}
+        out = df.copy()
+        rebuilt = []
+        for _, r in df.iterrows():
+            text = r[text_column]
+            if text is None or (
+                isinstance(text, float) and np.isnan(text)
+            ):
+                rebuilt.append(None)
+                continue
+            covered: set = set()
+            for pos, gh in per_doc[r[id_column]]:
+                if gh in dup:
+                    covered.update(range(pos, pos + n))
+            toks = _normalize_py(text).split(" ")
+            rebuilt.append(
+                " ".join(
+                    t for i, t in enumerate(toks) if i not in covered
+                )
+            )
+        out[output_column] = pd.Series(rebuilt, index=df.index)
+        return out
+
+    return _transform

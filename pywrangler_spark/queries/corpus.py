@@ -306,6 +306,56 @@ def dedup_span_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- duplicate-span excision ----------------------------------------------
+# Same covered-position pipeline as the mask, then a positional filter
+# rebuilds the normalized text without the duplicated-span tokens.
+_SPAN_EXCISE_ORACLE = f"""
+WITH norm AS (
+    SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
+), grams AS (
+    SELECT doc_id, i - 1 AS pos, {_GRAM5_SQL} AS gh
+    FROM norm, UNNEST(range(1, len(w) - 3)) AS t(i)
+    WHERE len(w) >= 5
+), dup AS (
+    SELECT gh FROM grams GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= 2
+), covered AS (
+    SELECT DISTINCT g.doc_id, g.pos + o AS tok
+    FROM grams g JOIN dup USING (gh), UNNEST(range(0, 5)) AS u(o)
+), mt AS (
+    SELECT doc_id, list(tok) AS toks FROM covered GROUP BY 1
+)
+SELECT n.doc_id,
+       CASE WHEN n.w IS NULL THEN NULL
+            -- array_to_string([]) is NULL in DuckDB but concat_ws of an
+            -- empty array is '' in Spark: coalesce the fully-masked case
+            ELSE COALESCE(
+                array_to_string(
+                    list_filter(
+                        n.w,
+                        (x, i) -> NOT list_contains(
+                            COALESCE(m.toks, CAST([] AS BIGINT[])), i - 1
+                        )
+                    ),
+                    ' '
+                ),
+                ''
+            )
+       END AS masked_text
+FROM norm n LEFT JOIN mt m USING (doc_id)
+"""
+
+
+@register("dedup_span_excise", oracle=_SPAN_EXCISE_ORACLE)
+def dedup_span_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pywrangler_spark.operators.spandedup import excise_duplicate_spans
+
+    return (
+        _docs(spark, sf_dir)
+        .transform(excise_duplicate_spans("doc_id", "text", n=5, min_docs=2))
+        .select("doc_id", "masked_text")
+    )
+
+
 @register("lm_score_docs", oracle=_LM_ORACLE)
 def lm_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pywrangler_spark.operators.lmscore import (

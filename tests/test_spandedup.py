@@ -153,3 +153,80 @@ class TestSkewedGramJoin:
         tree = plan.split("\n\n")[0]
         assert tree.count("BroadcastHashJoin") == 1
         assert "SortMergeJoin" in tree or "ShuffledHashJoin" in tree
+
+
+class TestExciseDuplicateSpans:
+    def test_excises_shared_span_only(self, spark):
+        from pywrangler_spark.operators.spandedup import (
+            excise_duplicate_spans,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, "a b c d e x y z w v"),
+                (2, "q r a b c d e s t u"),
+                (3, "n o p aa bb cc dd ee ff gg"),
+            ],
+            ["doc_id", "text"],
+        )
+        out = {
+            r["doc_id"]: r["masked_text"]
+            for r in df.transform(
+                excise_duplicate_spans(n=5, min_docs=2)
+            ).collect()
+        }
+        assert out[1] == "x y z w v"
+        assert out[2] == "q r s t u"
+        assert out[3] == "n o p aa bb cc dd ee ff gg"
+
+    def test_normalizes_clean_docs_and_keeps_null(self, spark):
+        from pywrangler_spark.operators.spandedup import (
+            excise_duplicate_spans,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "  MiXeD   Case\ttext here now "), (2, None)],
+            ["doc_id", "text"],
+        )
+        out = {
+            r["doc_id"]: r["masked_text"]
+            for r in df.transform(
+                excise_duplicate_spans(n=5, min_docs=2)
+            ).collect()
+        }
+        assert out[1] == "mixed case text here now"
+        assert out[2] is None
+
+    def test_matches_pandas_twin(self, spark):
+        from pywrangler_spark.operators.spandedup import (
+            excise_duplicate_spans,
+        )
+        from pywrangler_spark.pandas_engine import (
+            pandas_excise_duplicate_spans,
+        )
+        from pywrangler_spark.sources import read_parquet
+
+        docs = read_parquet(
+            spark, "/root/testdata/sf0.001/documents.parquet"
+        ).select("doc_id", "text")
+        got_spark = {
+            r["doc_id"]: r["masked_text"]
+            for r in docs.transform(
+                excise_duplicate_spans(n=4, min_docs=2)
+            ).collect()
+        }
+        pdf = docs.toPandas()
+        got_pandas = pdf.pipe(
+            pandas_excise_duplicate_spans(n=4, min_docs=2)
+        )
+        twin = dict(
+            zip(got_pandas["doc_id"], got_pandas["masked_text"])
+        )
+        assert got_spark == twin
+        # the corpus actually has shared spans at n=4
+        changed = sum(
+            1
+            for _, r in pdf.iterrows()
+            if twin[r["doc_id"]] != " ".join(str(r["text"]).lower().split())
+        )
+        assert changed > 0
