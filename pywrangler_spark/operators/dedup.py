@@ -9,9 +9,10 @@ Scale design (the 100 TB story):
   (array expressions per row, no shuffle), the only shuffle is the
   self-join on (band index, band hash), whose fan-out is bounded by bucket
   sizes rather than corpus size.
-- **SimHash** gives a per-document 63-bit sketch; hamming-near pairs can
-  then be found with multi-index prefix joins. The sketch itself is one
-  explode + groupBy (single shuffle keyed by doc id).
+- **SimHash** gives a per-document 63-bit sketch (one explode + groupBy,
+  single shuffle keyed by doc id); hamming-near pairs come from the
+  pigeonhole block multi-index (``SimHashNearPairs``) — complete for
+  the distance bound, never an all-pairs scan.
 - **n-gram Jaccard** (exact) is the verification/oracle path: a shingle
   self-join, quadratic in bucket co-occurrence — correct at any scale but
   intended for candidate verification, not all-pairs discovery.
@@ -406,3 +407,123 @@ def simhash_table(
         )
 
     return _transform
+
+
+class SimHashNearPairs:
+    """Hamming-near document pairs from 63-bit SimHash sketches, via the
+    pigeonhole multi-index join the ``simhash_table`` docstring promises
+    (Manku et al.'s near-duplicate detection, block-permuted variant).
+
+    Split the sketch into ``max_hamming + 1`` bit blocks; any two
+    sketches within hamming distance ``max_hamming`` must agree EXACTLY
+    on at least one block (pigeonhole), so candidates come from
+    equi-joins on (block index, block value) — never an all-pairs scan.
+    Candidates are verified with an exact ``bit_count(a XOR b)``.
+
+    Same shuffle discipline as the MinHash band join: the candidate
+    stream carries (block, value, id) rows only; sketches join back
+    after the pair dedup, keyed by id. Same cache lifecycle too — the
+    sketch table is consumed three times, each ``__call__`` persists it
+    and :meth:`release` unpersists after the result is consumed.
+
+    Output: (id_a, id_b, hamming), id_a < id_b, hamming <= max_hamming.
+    """
+
+    def __init__(
+        self,
+        id_column: str,
+        text_column: str,
+        max_hamming: int = 3,
+        bits: int = 63,
+    ) -> None:
+        if max_hamming < 1:
+            raise ValueError(
+                f"max_hamming must be >= 1, got {max_hamming}"
+            )
+        if bits < (max_hamming + 1):
+            raise ValueError("bits must exceed max_hamming + 1")
+        self.id_column = id_column
+        self.text_column = text_column
+        self.max_hamming = max_hamming
+        self.bits = bits
+        self._persisted: List[DataFrame] = []
+
+    def release(self) -> None:
+        """Unpersist every sketch cache created by this instance."""
+        while self._persisted:
+            self._persisted.pop().unpersist(blocking=True)
+
+    def _blocks(self):
+        """(offset, width) per block: bits split as evenly as possible
+        into max_hamming + 1 contiguous blocks."""
+        n_blocks = self.max_hamming + 1
+        base, rem = divmod(self.bits, n_blocks)
+        out, off = [], 0
+        for j in range(n_blocks):
+            w = base + (1 if j < rem else 0)
+            out.append((off, w))
+            off += w
+        return out
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        from pyspark import StorageLevel
+
+        sk = df.transform(
+            simhash_table(self.id_column, self.text_column, self.bits)
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        self._persisted.append(sk)
+
+        blocks = self._blocks()
+        rows = sk.select(
+            "id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("blk"),
+                            (
+                                F.shiftright(F.col("simhash"), off)
+                                .bitwiseAND(F.lit((1 << w) - 1))
+                            ).alias("bv"),
+                        )
+                        for j, (off, w) in enumerate(blocks)
+                    ]
+                )
+            ).alias("b"),
+        ).select("id", "b.blk", "b.bv")
+
+        left = rows.select(F.col("id").alias("id_a"), "blk", "bv")
+        right = rows.select(F.col("id").alias("id_b"), "blk", "bv")
+        pairs = (
+            left.join(right, ["blk", "bv"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        sk_a = sk.select(
+            F.col("id").alias("id_a"), F.col("simhash").alias("_sa")
+        )
+        sk_b = sk.select(
+            F.col("id").alias("id_b"), F.col("simhash").alias("_sb")
+        )
+        ham = F.bit_count(
+            F.col("_sa").bitwiseXOR(F.col("_sb"))
+        ).alias("hamming")
+        return (
+            pairs.join(sk_a, "id_a")
+            .join(sk_b, "id_b")
+            .select("id_a", "id_b", ham)
+            .filter(F.col("hamming") <= self.max_hamming)
+        )
+
+
+def simhash_near_pairs(
+    id_column: str,
+    text_column: str,
+    max_hamming: int = 3,
+    bits: int = 63,
+) -> SimHashNearPairs:
+    """Functional form of :class:`SimHashNearPairs` (drop-in for
+    ``df.transform(simhash_near_pairs(...))``); keep the returned object
+    to :meth:`SimHashNearPairs.release` the sketch cache."""
+    return SimHashNearPairs(id_column, text_column, max_hamming, bits)

@@ -114,6 +114,34 @@ class TestDedup:
         ), "release() must drop the persisted storage level"
         assert result.count() == n
 
+    def test_simhash_near_pairs_finds_planted_neardup(self, spark, docs):
+        """A one-word edit flips only a few sketch bits; the pigeonhole
+        multi-index must surface the pair (it is complete for
+        hamming <= max_hamming — proven exhaustively by the
+        dedup_simhash_near brute-force oracle)."""
+        from pywrangler_spark.operators.dedup import simhash_near_pairs
+
+        edited = docs.filter(F.col("doc_id") < 2).select(
+            (F.col("doc_id") + 10_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zyxqj")).alias("text"),
+        )
+        planted = docs.select("doc_id", "text").union(edited)
+        op = simhash_near_pairs("doc_id", "text", max_hamming=20)
+        pairs = {
+            (r.id_a, r.id_b): r.hamming
+            for r in planted.transform(op).collect()
+        }
+        for doc_id in range(2):
+            assert (doc_id, doc_id + 10_000) in pairs
+        op.release()
+        assert not op._persisted
+
+    def test_simhash_near_pairs_validation(self):
+        from pywrangler_spark.operators.dedup import simhash_near_pairs
+
+        with pytest.raises(ValueError, match="max_hamming"):
+            simhash_near_pairs("doc_id", "text", max_hamming=0)
+
     def test_minhash_band_join_shuffles_ids_only(self, spark, docs):
         """The LSH candidate exchanges (hash-partitioned by band/bh, and the
         pair dedup by id_a/id_b) must NOT carry the minhash signatures —
