@@ -10,6 +10,12 @@ parseable record, no matter how many queries the suite grows to.
 
 Execution is forced with a noop datasource write (full computation, no
 driver-side collect), matching how a real pipeline sinks results.
+
+``bench.py --ab REF`` runs contention-robust A/B passes instead: the
+suite alternates whole passes between HEAD and a git worktree of REF
+(each pass a fresh subprocess+session), so per-query HEAD/REF ratios are
+measured within the same host window — the host drifts 2-6x across
+minutes, which makes cross-round absolute numbers incomparable.
 """
 
 from __future__ import annotations
@@ -17,10 +23,106 @@ from __future__ import annotations
 import json
 import os
 import re
+import subprocess
 import sys
+import tempfile
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+_PASS_RUNNER = r"""
+import json, os, sys, time
+sys.path.insert(0, sys.argv[1])
+from pywrangler_spark.queries import QUERIES
+from pywrangler_spark.session import get_spark
+from pywrangler_spark.sources import read_parquet
+
+sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+spark = get_spark("bench-ab", master=f"local[{cpus}]",
+                  shuffle_partitions=int(cpus),
+                  extra_conf={"spark.driver.memory": "48g"})
+spark.sparkContext.setLogLevel("ERROR")
+try:
+    read_parquet(spark, os.path.join(sf_dir, "lineitem.parquet")).count()
+except Exception:
+    pass
+timings = {}
+for name in sorted(QUERIES):
+    t0 = time.perf_counter()
+    try:
+        QUERIES[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite").save()
+    except Exception as exc:
+        timings[name] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
+        continue
+    timings[name] = round(time.perf_counter() - t0, 3)
+with open(sys.argv[2], "w") as fh:
+    json.dump(timings, fh)
+"""
+
+
+def ab_main(ref: str) -> None:
+    """Alternate whole-suite passes between HEAD and REF; emit paired
+    per-query min-over-passes ratios (head/ref; <1 = HEAD faster)."""
+    sha = subprocess.check_output(
+        ["git", "-C", REPO, "rev-parse", "--short", ref], text=True
+    ).strip()
+    wt = os.path.join(tempfile.gettempdir(), f"bench_ref_{sha}")
+    if not os.path.isdir(wt):
+        subprocess.check_call(
+            ["git", "-C", REPO, "worktree", "add", "--detach", wt, sha]
+        )
+    runner = os.path.join(tempfile.gettempdir(), "bench_ab_pass.py")
+    with open(runner, "w") as fh:
+        fh.write(_PASS_RUNNER)
+
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    best: dict = {"head": {}, "ref": {}}
+    for p in range(reps):
+        # alternate order each round so neither variant always gets the
+        # colder (or busier) slot of the window
+        order = ["head", "ref"] if p % 2 == 0 else ["ref", "head"]
+        for variant in order:
+            path = REPO if variant == "head" else wt
+            out = os.path.join(
+                tempfile.gettempdir(), f"bench_ab_{variant}_{p}.json"
+            )
+            subprocess.check_call(
+                [sys.executable, runner, path, out],
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            )
+            with open(out) as fh:
+                for name, sec in json.load(fh).items():
+                    if isinstance(sec, dict):  # error marker
+                        continue
+                    cur = best[variant].get(name)
+                    if cur is None or sec < cur:
+                        best[variant][name] = sec
+
+    shared = sorted(set(best["head"]) & set(best["ref"]))
+    ratios = {
+        n: round(best["head"][n] / best["ref"][n], 3) for n in shared
+    }
+    svals = sorted(ratios.values())
+    result = {
+        "metric": "ab_head_over_ref",
+        "ref": sha,
+        "n_shared": len(shared),
+        "head_total": round(sum(best["head"][n] for n in shared), 3),
+        "ref_total": round(sum(best["ref"][n] for n in shared), 3),
+        "median_ratio": svals[len(svals) // 2] if svals else None,
+        "ratios": ratios,
+    }
+    with open(os.path.join(REPO, "bench_ab.json"), "w") as fh:
+        json.dump(result, fh)
+    print(json.dumps(result))
+    compact = {k: v for k, v in result.items() if k != "ratios"}
+    compact["worst3"] = dict(
+        sorted(ratios.items(), key=lambda kv: -kv[1])[:3]
+    )
+    print(json.dumps(compact))
 
 
 def main() -> None:
@@ -114,4 +216,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--ab":
+        ab_main(sys.argv[2])
+    else:
+        main()

@@ -40,6 +40,12 @@ Plan shape at 100 TB:
    - **cold grams** join shuffled, with per-key doc-fanout bounded by
      ``hot_min_docs`` (intra-document repeats can still exceed the
      bound rowwise; they are bounded by document length).
+
+   The hot probe deliberately recomputes the gram stream scan-side
+   instead of reading the cold join's shuffled exchange: reading the
+   exchange would serialize every hot-gram row through one reducer —
+   the exact straggler the split removes. One extra even, parallel
+   scan pass is the price (measured cost-neutral at sf0.1).
 3. covered positions: explode each hit's n-token window, distinct,
    count per doc — the only rows past the joins are positions inside
    duplicated spans.
