@@ -1,6 +1,6 @@
 """Similarity search over embedding columns (``array<float>``).
 
-Two paths:
+Five tiers, trading exactness for compute or memory:
 
 - **Brute force** (`topk_cosine`): broadcast the (small) query set against
   the corpus, compute cosine in JVM array expressions, rank per query.
@@ -10,9 +10,15 @@ Two paths:
   (seeded, deterministic) assign each vector to a bucket; candidates are
   corpus vectors sharing the query's bucket (optionally within hamming
   distance 1 by probing neighbour buckets). Approximate; cost per query
-  drops by ~2^planes. This is the 100 TB path: signatures are computed
-  scan-side with no shuffle, and the bucket join replaces the cross
-  product.
+  drops by ~2^planes. Signatures are computed scan-side with no shuffle,
+  and the bucket join replaces the cross product.
+- **IVF** (`topk_cosine_ivf`): k-means cells replace LSH buckets — the
+  FAISS-style compute-bound scale path (fit once, probe n_probe cells).
+- **int8** (`topk_cosine_int8`): exact integer arithmetic over 4x-
+  compressed vectors — the bit-reproducible memory path.
+- **PQ** (`topk_cosine_pq`): product quantization + asymmetric distance —
+  the FAISS-PQ memory-bound path (16 bytes/vector at the classic 16x8
+  config; scoring is table lookups, never raw-vector distances).
 
 Scores are rounded to 6 dp before ranking so ranking is reproducible
 across engines (f64 noise cannot reorder), with vector id as the final
@@ -515,6 +521,197 @@ def topk_cosine_int8(
         )
         return (
             scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
+
+    return _transform
+
+
+# ---------------------------------------------------------------------------
+# PQ (product quantization) ANN — the memory-bound scale path
+# ---------------------------------------------------------------------------
+
+def train_pq_codebooks(
+    df: DataFrame,
+    vector_column: str,
+    m: int = 8,
+    codebook_k: int = 16,
+    seed: int = 42,
+    max_fit_rows: int = 20_000,
+    iters: int = 10,
+) -> np.ndarray:
+    """Train product-quantization codebooks: split the (unit-normalized)
+    vector into ``m`` contiguous subvectors and run a seeded numpy
+    Lloyd's k-means with ``codebook_k`` centroids per subspace over a
+    uniform sample. Returns ``(m, codebook_k, dim/m)`` float64 — model
+    parameters, driver-held and broadcast like the IVF centroids.
+
+    The corpus then stores ``m`` small ints per vector instead of
+    ``dim`` floats — a 4*dim/m compression of the candidate store
+    (64-dim f32 = 256 B -> 8 B at m=8), which is the difference between
+    a corpus that fits executor memory and one that doesn't. Accuracy
+    comes back through asymmetric distance computation at query time
+    (:func:`topk_cosine_pq`): queries stay exact, only the corpus side
+    is quantized.
+    """
+    if m < 1:
+        raise ValueError(f"m must be >= 1, got {m}")
+    if codebook_k < 2:
+        raise ValueError(f"codebook_k must be >= 2, got {codebook_k}")
+    base = df.select(to_double_array(F.col(vector_column)).alias("_v"))
+    n = base.count()
+    if n > max_fit_rows:
+        base = base.sample(
+            fraction=min(1.0, max_fit_rows / float(n)), seed=seed
+        )
+    sample = np.array([r["_v"] for r in base.collect()], dtype="float64")
+    norms = np.linalg.norm(sample, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    sample = sample / norms
+    dim = sample.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, codebook_k, sub))
+    for j in range(m):
+        x = sample[:, j * sub : (j + 1) * sub]
+        # seeded init from distinct sample rows; plain Lloyd iterations
+        # (a coarse per-subspace quantizer needs no k-means++ polish)
+        cent = x[rng.choice(len(x), size=codebook_k, replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(codebook_k):
+                pts = x[assign == c]
+                if len(pts):
+                    cent[c] = pts.mean(axis=0)
+        books[j] = cent
+    return books
+
+
+def _pq_encode_udf(books: np.ndarray):
+    """Arrow-batched pandas UDF: raw vector -> m subspace code ids
+    (argmin L2 against each codebook, on the unit-normalized vector)."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    m, _, sub = books.shape
+
+    @pandas_udf("array<int>")
+    def encode(vs: pd.Series) -> pd.Series:
+        x = np.stack(vs.to_numpy()).astype("float64")
+        norms = np.linalg.norm(x, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        x = x / norms
+        codes = np.empty((len(x), m), dtype="int32")
+        for j in range(m):
+            xs = x[:, j * sub : (j + 1) * sub]
+            d2 = ((xs[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = d2.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    return encode
+
+
+def topk_cosine_pq(
+    id_column: str,
+    vector_column: str,
+    k: int = 10,
+    m: int = 8,
+    codebook_k: int = 16,
+    seed: int = 42,
+    query_filter: Optional[Column] = None,
+    codebooks: Optional[np.ndarray] = None,
+) -> Callable[[DataFrame], DataFrame]:
+    """Approximate top-k cosine neighbours via product quantization with
+    asymmetric distance computation (ADC), the FAISS-PQ scale path.
+
+    - the corpus is encoded once into ``m``-byte codes (scan-side UDF,
+      no shuffle) — the memory-bound win;
+    - each query builds an ``m x codebook_k`` lookup table of partial
+      dot products against the codebooks (driver-side on the collected
+      query set — the query set is the bounded small side here, exactly
+      as :func:`topk_cosine` broadcasts it);
+    - scoring is ``sum_j LUT[q, j, code_j]`` — a table lookup per
+      subspace, vectorized over Arrow batches; no distance to raw
+      corpus vectors is ever computed.
+
+    **Fit/serve split**: pass ``codebooks`` from
+    :func:`train_pq_codebooks` for a serve-only transform whose only
+    driver action is collecting the (bounded) query set. Scores
+    approximate cosine to the quantization error; recall@10 against the
+    exact tier is gated in the test suite and by the ``ann_topk_pq``
+    query. Output schema matches :func:`topk_cosine` (score column
+    ``cosine_pq``).
+    """
+
+    def _transform(df: DataFrame) -> DataFrame:
+        books = (
+            codebooks
+            if codebooks is not None
+            else train_pq_codebooks(
+                df, vector_column, m=m, codebook_k=codebook_k, seed=seed
+            )
+        )
+        mm, kk, sub = books.shape
+
+        qdf = df if query_filter is None else df.filter(query_filter)
+        qrows = qdf.select(
+            F.col(id_column).alias("_qid"),
+            to_double_array(F.col(vector_column)).alias("_qv"),
+        ).collect()
+        qids = np.array([r["_qid"] for r in qrows])
+        qvecs = np.stack(
+            [np.asarray(r["_qv"], dtype="float64") for r in qrows]
+        )
+        qnorms = np.linalg.norm(qvecs, axis=1, keepdims=True)
+        qnorms[qnorms == 0.0] = 1.0
+        qvecs = qvecs / qnorms
+        # LUT[q, j, c] = q_subj . codebook[j][c]  — Q x m x k doubles
+        lut = np.einsum(
+            "qjd,jcd->qjc", qvecs.reshape(len(qids), mm, sub), books
+        )
+        sc = df.sparkSession.sparkContext
+        bc_lut = sc.broadcast(lut)
+
+        from pyspark.sql.pandas.functions import pandas_udf
+
+        @pandas_udf("array<double>")
+        def adc_scores(codes: pd.Series) -> pd.Series:
+            table = bc_lut.value  # (Q, m, k)
+            c = np.stack(codes.to_numpy()).astype("int64")  # (B, m)
+            # gather per subspace: scores (B, Q) = sum_j table[:, j, c[:, j]]
+            scores = np.zeros((len(c), table.shape[0]))
+            for j in range(table.shape[1]):
+                scores += table[:, j, :][:, c[:, j]].T
+            return pd.Series(list(np.round(scores, 6)))
+
+        encode = _pq_encode_udf(books)
+        corpus = _scale_out(df).select(
+            F.col(id_column).alias("_id"),
+            encode(to_double_array(F.col(vector_column))).alias("_codes"),
+        )
+        scored = corpus.select(
+            "_id", F.posexplode(adc_scores(F.col("_codes")))
+        ).toDF("_id", "_qidx", "cosine_pq")
+        qmap = df.sparkSession.createDataFrame(
+            [(int(i), int(q)) for i, q in enumerate(qids)],
+            "_qidx int, query_id long",
+        )
+        out = (
+            scored.join(F.broadcast(qmap), "_qidx")
+            .filter(F.col("_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                F.col("_id").alias("neighbor_id"),
+                "cosine_pq",
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine_pq").desc(), F.col("neighbor_id").asc()
+        )
+        return (
+            out.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
         )
 

@@ -191,6 +191,39 @@ class TestSimilarity:
         with pytest.raises(ValueError, match="dim"):
             topk_cosine_lsh("vec_id", "embedding")
 
+    def test_pq_recall_vs_bruteforce(self, spark, embeddings):
+        """ADC over 16x8-bit PQ codes must keep recall@10 well above the
+        gate floor on random vectors (PQ's worst case: no cluster
+        structure for the codebooks to exploit)."""
+        from pywrangler_spark.operators.similarity import topk_cosine_pq
+
+        qf = F.col("vec_id") % 25 == 0
+        exact = topk_cosine("vec_id", "embedding", k=10, query_filter=qf)(
+            embeddings
+        )
+        approx = topk_cosine_pq(
+            "vec_id", "embedding", k=10, m=16, codebook_k=64,
+            query_filter=qf,
+        )(embeddings)
+        e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+        a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+        assert len(e & a) / len(e) >= 0.5
+
+    def test_pq_fit_validation(self, spark, embeddings):
+        from pywrangler_spark.operators.similarity import (
+            train_pq_codebooks,
+        )
+
+        with pytest.raises(ValueError, match="divisible"):
+            # 64-dim embeddings cannot split into 7 subspaces
+            train_pq_codebooks(
+                embeddings, "embedding", m=7, max_fit_rows=100
+            )
+        books = train_pq_codebooks(
+            embeddings, "embedding", m=8, codebook_k=4, max_fit_rows=200
+        )
+        assert books.shape == (8, 4, 8)
+
     def test_lsh_recall_vs_bruteforce(self, spark, embeddings):
         qf = F.col("vec_id") % 25 == 0
         exact = topk_cosine("vec_id", "embedding", k=10, query_filter=qf)(
