@@ -871,3 +871,75 @@ def variant_props_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("k").cast("bigint").alias("sum_k"),
         F.max("k").alias("max_k"),
     )
+
+
+# ---- Z-order layout code ---------------------------------------------------
+# Integer fixed-width buckets (from exact min/max — no quantile
+# interpolation) make the bucket and Morton-interleave arithmetic
+# bit-exact in both engines; the quantile-boundary production path is
+# covered by tests/test_layout.py including the file-pruning benefit.
+_ZORDER_ORACLE = """
+WITH base AS (
+    SELECT event_id, user_id,
+           epoch_us(CAST(ts AS TIMESTAMP)) // 60000000 AS minute
+    FROM events
+), s AS (
+    SELECT min(user_id) AS minu, max(user_id) AS maxu,
+           min(minute) AS minm, max(minute) AS maxm
+    FROM base
+), coded AS (
+    SELECT event_id, user_id, minute,
+           least((user_id - minu)
+                 // greatest((maxu - minu + 1) // 16, 1), 15) AS bu,
+           least((minute - minm)
+                 // greatest((maxm - minm + 1) // 16, 1), 15) AS bm
+    FROM base, s
+), z AS (
+    SELECT event_id, user_id,
+           ((bu >> 0) & 1) * 1 + ((bm >> 0) & 1) * 2
+         + ((bu >> 1) & 1) * 4 + ((bm >> 1) & 1) * 8
+         + ((bu >> 2) & 1) * 16 + ((bm >> 2) & 1) * 32
+         + ((bu >> 3) & 1) * 64 + ((bm >> 3) & 1) * 128 AS zcode
+    FROM coded
+)
+SELECT CAST(zcode AS BIGINT) AS zcode,
+       count(*) AS n_rows,
+       CAST(min(user_id) AS BIGINT) AS min_user,
+       CAST(max(user_id) AS BIGINT) AS max_user
+FROM z GROUP BY 1
+"""
+
+
+@register("zorder_code_events", oracle=_ZORDER_ORACLE)
+def zorder_code_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton-code the events on (user_id, minute) with integer
+    fixed-width buckets and aggregate per code cell — verifies the bit
+    interleave and bucket arithmetic the Z-order layout writer uses."""
+    from pywrangler_spark.sources.layout import zorder_code
+
+    base = _events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        F.expr("unix_micros(ts) div 60000000").alias("minute"),
+    )
+    s = base.agg(
+        F.min("user_id").alias("minu"), F.max("user_id").alias("maxu"),
+        F.min("minute").alias("minm"), F.max("minute").alias("maxm"),
+    ).first()
+    wu = max((s["maxu"] - s["minu"] + 1) // 16, 1)
+    wm = max((s["maxm"] - s["minm"] + 1) // 16, 1)
+    bounds = {
+        "user_id": [float(s["minu"] + i * wu) for i in range(1, 16)],
+        "minute": [float(s["minm"] + i * wm) for i in range(1, 16)],
+    }
+    return (
+        base.transform(
+            zorder_code(["user_id", "minute"], bits=4, boundaries=bounds)
+        )
+        .groupBy(F.col("_z").alias("zcode"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("user_id").cast("long").alias("min_user"),
+            F.max("user_id").cast("long").alias("max_user"),
+        )
+    )

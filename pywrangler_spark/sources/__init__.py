@@ -1,6 +1,11 @@
 """Sources & sinks."""
 
 from pywrangler_spark.sources.bucketed import read_table, write_bucketed_table
+from pywrangler_spark.sources.layout import (
+    fit_zorder_boundaries,
+    zorder_code,
+    zorder_layout,
+)
 from pywrangler_spark.sources.formats import (
     read_csv,
     read_json,
@@ -17,6 +22,9 @@ from pywrangler_spark.sources.parquet import (
 
 __all__ = [
     "TABLE_NAMES",
+    "fit_zorder_boundaries",
+    "zorder_code",
+    "zorder_layout",
     "read_parquet",
     "load_tables",
     "register_views",
