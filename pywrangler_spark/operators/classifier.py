@@ -1,0 +1,128 @@
+"""Model-based text classification — the trained-filter slot of a
+corpus pipeline (fastText-style architecture: hashed bag-of-n-gram
+features into a linear classifier; public methodology — Joulin et al.,
+"Bag of Tricks for Efficient Text Classification" — re-expressed on
+MLlib so fit and serve are both distributed).
+
+Heuristic gates (``operators.quality``) and the unigram LM
+(``operators.lmscore``) cover rule-based filtering; this adds the
+supervised tier: fit on labeled seed data (a curated "good" set vs a
+random web sample is the classic quality-classifier recipe; language
+labels work the same way), then score the full corpus.
+
+Scale shape:
+
+- **features**: tokenize with the shared ``words`` semantics, add word
+  bigrams, hash into a fixed-width sparse vector (``HashingTF`` —
+  JVM-side, deterministic hashing, no vocabulary state to ship);
+- **fit**: MLlib LogisticRegression (L-BFGS) — distributed gradient
+  aggregation, the one genuinely iterative stage, run once on the
+  (small) labeled seed;
+- **serve**: the fitted model is a coefficient matrix broadcast by
+  MLlib's transform — scoring is a sparse dot product per row,
+  scan-side, no shuffle.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pywrangler_spark.functions.text import words
+
+
+def _featurize(df: DataFrame, text_column: str, n_features: int,
+               bigrams: bool) -> DataFrame:
+    """Append ``features``: hashed bag of unigrams (+ bigrams)."""
+    from pyspark.ml.feature import HashingTF
+
+    toks = F.filter(words(F.col(text_column)), lambda w: w != "")
+    if bigrams:
+        big = F.zip_with(
+            toks,
+            F.slice(toks, 2, 2_147_483_647),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+        toks = F.concat(toks, F.filter(big, lambda g: g.contains(" ")))
+    with_toks = df.withColumn("_toks", toks)
+    tf = HashingTF(
+        inputCol="_toks", outputCol="features", numFeatures=n_features
+    )
+    return tf.transform(with_toks).drop("_toks")
+
+
+def fit_text_classifier(
+    df: DataFrame,
+    label_column: str,
+    text_column: str = "text",
+    n_features: int = 1 << 18,
+    bigrams: bool = True,
+    reg_param: float = 1e-4,
+    max_iter: int = 50,
+    seed: int = 42,
+):
+    """Fit the classifier on labeled seed data. Returns
+    ``(model, labels)``: the MLlib LogisticRegressionModel and the
+    ordered label list (string label -> model index)."""
+    from pyspark.ml.classification import LogisticRegression
+
+    labels = [
+        r[label_column]
+        for r in df.select(label_column)
+        .distinct()
+        .orderBy(label_column)
+        .collect()
+    ]
+    if len(labels) < 2:
+        raise ValueError(
+            f"need >= 2 distinct labels, got {len(labels)}"
+        )
+    idx = {v: float(i) for i, v in enumerate(labels)}
+    mapping = F.create_map(
+        *[x for v, i in idx.items() for x in (F.lit(v), F.lit(i))]
+    )
+    feats = _featurize(
+        df.withColumn("_label", mapping[F.col(label_column)]),
+        text_column, n_features, bigrams,
+    )
+    lr = LogisticRegression(
+        featuresCol="features", labelCol="_label",
+        regParam=reg_param, maxIter=max_iter,
+    )
+    return lr.fit(feats), labels
+
+
+def score_text_classifier(
+    model,
+    labels,
+    text_column: str = "text",
+    n_features: int = 1 << 18,
+    bigrams: bool = True,
+    prediction_column: str = "predicted_label",
+    confidence_column: str = "confidence",
+) -> Callable[[DataFrame], DataFrame]:
+    """Append the predicted string label and its probability. Serve-only:
+    the coefficient matrix rides in the MLlib transform (broadcast), the
+    per-row cost is one sparse dot product — scan-side, no shuffle.
+    Feature parameters must match the fit."""
+    label_arr = F.array(*[F.lit(v) for v in labels])
+
+    def _transform(df: DataFrame) -> DataFrame:
+        feats = _featurize(df, text_column, n_features, bigrams)
+        scored = model.transform(feats)
+        from pyspark.ml.functions import vector_to_array
+
+        probs = vector_to_array(F.col(model.getProbabilityCol()))
+        pred = F.col(model.getPredictionCol()).cast("int")
+        return scored.select(
+            *df.columns,
+            F.element_at(label_arr, pred + 1).alias(prediction_column),
+            F.round(F.element_at(probs, pred + 1), 6).alias(
+                confidence_column
+            ),
+        )
+
+    _transform.__name__ = "score_text_classifier"
+    return _transform

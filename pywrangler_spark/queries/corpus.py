@@ -369,3 +369,59 @@ def lm_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.transform(unigram_logprob_score(model, oov_p=1e-9))
         .select("doc_id", F.round("lm_score", 6).alias("lm_score"))
     )
+
+
+# ---- supervised quality classifier (fastText-style distillation) ----------
+# No SQL engine can replay an L-BFGS fit, so the model is gated like the
+# ANN tiers: holdout accuracy against the (deterministic) LM-derived
+# labels must clear a floor far below the validated operating point
+# (0.96 measured at sf0.01), and the oracle checks the deterministic
+# (n_eval, acc_ok) row.
+_CLASSIFIER_ORACLE = """
+SELECT CAST(count(*) AS BIGINT) AS n_eval, TRUE AS acc_ok
+FROM documents WHERE doc_id % 2 = 1
+"""
+
+
+@register("classifier_quality_gate", oracle=_CLASSIFIER_ORACLE)
+def classifier_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distill the unigram-LM quality filter into a hashed-bigram
+    logistic classifier (the standard trained-quality-filter recipe:
+    cheap-label seed -> model that generalizes): median-split LM scores
+    label the corpus, even doc_ids train, odd doc_ids evaluate."""
+    from pywrangler_spark.operators.classifier import (
+        fit_text_classifier,
+        score_text_classifier,
+    )
+    from pywrangler_spark.operators.lmscore import (
+        fit_unigram_model,
+        unigram_logprob_score,
+    )
+
+    docs = _docs(spark, sf_dir)
+    lm = docs.transform(fit_unigram_model("text", vocab_size=20))
+    scored = docs.transform(unigram_logprob_score(lm, oov_p=1e-9))
+    med = scored.agg(F.expr("percentile(lm_score, 0.5D)")).first()[0]
+    labeled = scored.withColumn(
+        "qlabel",
+        F.when(F.col("lm_score") <= med, "keep").otherwise("drop"),
+    )
+    train = labeled.filter(F.col("doc_id") % 2 == 0)
+    test = labeled.filter(F.col("doc_id") % 2 == 1)
+    model, labels = fit_text_classifier(
+        train, "qlabel", n_features=1 << 16
+    )
+    out = test.transform(
+        score_text_classifier(model, labels, n_features=1 << 16)
+    )
+    return out.agg(
+        F.count(F.lit(1)).alias("n_eval"),
+        (
+            F.avg(
+                (F.col("predicted_label") == F.col("qlabel")).cast(
+                    "double"
+                )
+            )
+            >= 0.8
+        ).alias("acc_ok"),
+    )

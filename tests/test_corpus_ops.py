@@ -222,3 +222,63 @@ class TestScaleSmoke:
         # modest band of the single-copy run rather than 10x above it
         assert n_docs <= 2 * baseline, (n_docs, baseline)
         assert n_docs >= int(0.5 * baseline), (n_docs, baseline)
+
+
+class TestQualityClassifier:
+    def test_distills_lm_filter_above_floor(self, spark):
+        """The hashed-bigram logistic classifier must recover the
+        LM-derived keep/drop labels on a holdout far above chance —
+        the trained-quality-filter recipe end-to-end."""
+        from pyspark.sql import functions as F
+
+        from pywrangler_spark.operators.classifier import (
+            fit_text_classifier,
+            score_text_classifier,
+        )
+        from pywrangler_spark.operators.lmscore import (
+            fit_unigram_model,
+            unigram_logprob_score,
+        )
+        from pywrangler_spark.sources import read_parquet
+
+        docs = read_parquet(
+            spark, "/root/testdata/sf0.01/documents.parquet"
+        )
+        lm = docs.transform(fit_unigram_model("text", vocab_size=20))
+        scored = docs.transform(unigram_logprob_score(lm, oov_p=1e-9))
+        med = scored.agg(F.expr("percentile(lm_score, 0.5D)")).first()[0]
+        labeled = scored.withColumn(
+            "qlabel",
+            F.when(F.col("lm_score") <= med, "keep").otherwise("drop"),
+        )
+        train = labeled.filter(F.col("doc_id") % 2 == 0)
+        test = labeled.filter(F.col("doc_id") % 2 == 1)
+        model, labels = fit_text_classifier(
+            train, "qlabel", n_features=1 << 16
+        )
+        out = test.transform(
+            score_text_classifier(model, labels, n_features=1 << 16)
+        )
+        acc = out.agg(
+            F.avg(
+                (F.col("predicted_label") == F.col("qlabel")).cast(
+                    "double"
+                )
+            )
+        ).first()[0]
+        assert acc >= 0.85, acc
+        assert set(labels) == {"keep", "drop"}
+
+    def test_fit_rejects_single_label(self, spark):
+        from pywrangler_spark.operators.classifier import (
+            fit_text_classifier,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a b c", "x"), (2, "d e f", "x")],
+            ["doc_id", "text", "label"],
+        )
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="labels"):
+            fit_text_classifier(df, "label")
