@@ -596,3 +596,45 @@ def chunk_docs_by_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "text", tokens_per_chunk=60, overlap_tokens=10
         )
     )
+
+
+# ---- real BPE tokenization -------------------------------------------------
+# The merge loop is inherently iterative (not SQL-expressible), so the
+# query is gated on hard invariants instead: merges never cross word
+# boundaries, so for every document
+#   whitespace token count <= bpe token count <= non-space char count,
+# and the merge table is deterministic (count-desc, lexicographic ties)
+# so counts are reproducible run to run. The oracle checks the
+# deterministic (n_docs, bounds_ok) row.
+_BPE_ORACLE = """
+SELECT CAST(count(*) AS BIGINT) AS n_docs, TRUE AS bounds_ok
+FROM documents
+"""
+
+_BPE_MERGES: dict = {}
+
+
+@register("bpe_token_stats", oracle=_BPE_ORACLE)
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pywrangler_spark.functions.text import (
+        normalize_text,
+        token_count,
+    )
+    from pywrangler_spark.operators.bpe import bpe_encode, train_bpe
+
+    docs = _docs(spark, sf_dir)
+    if sf_dir not in _BPE_MERGES:
+        _BPE_MERGES[sf_dir] = train_bpe(docs, "text", n_merges=200)
+    encoded = docs.transform(bpe_encode(_BPE_MERGES[sf_dir], "text"))
+    n_words = token_count(F.col("text"))
+    n_chars = F.length(
+        F.regexp_replace(normalize_text(F.col("text")), " ", "")
+    )
+    per_doc_ok = (
+        (n_words <= F.col("bpe_token_count"))
+        & (F.col("bpe_token_count") <= F.coalesce(n_chars, F.lit(0)))
+    ) | F.col("text").isNull()
+    return encoded.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.every(per_doc_ok).alias("bounds_ok"),
+    )
