@@ -42,7 +42,9 @@ def _featurize(df: DataFrame, text_column: str, n_features: int,
     if bigrams:
         big = F.zip_with(
             toks,
-            F.slice(toks, 2, 2_147_483_647),
+            # size(toks), not INT_MAX (start + INT_MAX overflows ->
+            # empty slice -> zip_with pads all-NULL)
+            F.slice(toks, 2, F.size(toks)),
             lambda a, b: F.concat_ws(" ", a, b),
         )
         toks = F.concat(toks, F.filter(big, lambda g: g.contains(" ")))

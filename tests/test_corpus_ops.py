@@ -253,21 +253,32 @@ class TestQualityClassifier:
         )
         train = labeled.filter(F.col("doc_id") % 2 == 0)
         test = labeled.filter(F.col("doc_id") % 2 == 1)
-        model, labels = fit_text_classifier(
-            train, "qlabel", n_features=1 << 16
-        )
-        out = test.transform(
-            score_text_classifier(model, labels, n_features=1 << 16)
-        )
-        acc = out.agg(
-            F.avg(
-                (F.col("predicted_label") == F.col("qlabel")).cast(
-                    "double"
+        def run(bigrams):
+            model, labels = fit_text_classifier(
+                train, "qlabel", n_features=1 << 16, bigrams=bigrams
+            )
+            out = test.transform(
+                score_text_classifier(
+                    model, labels, n_features=1 << 16, bigrams=bigrams
                 )
             )
-        ).first()[0]
+            acc = out.agg(
+                F.avg(
+                    (F.col("predicted_label") == F.col("qlabel")).cast(
+                        "double"
+                    )
+                )
+            ).first()[0]
+            return acc, labels
+
+        # capacity matched to the unigram teacher: high floor
+        acc, labels = run(bigrams=False)
         assert acc >= 0.85, acc
         assert set(labels) == {"keep", "drop"}
+        # bigram features dilute this particular label but must still
+        # beat chance clearly (and exercise the bigram featurizer)
+        acc_bi, _ = run(bigrams=True)
+        assert acc_bi >= 0.6, acc_bi
 
     def test_fit_rejects_single_label(self, spark):
         from pywrangler_spark.operators.classifier import (
