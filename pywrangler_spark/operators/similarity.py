@@ -565,6 +565,15 @@ def train_pq_codebooks(
             fraction=min(1.0, max_fit_rows / float(n)), seed=seed
         )
     sample = np.array([r["_v"] for r in base.collect()], dtype="float64")
+    if sample.size == 0:
+        raise ValueError(
+            "cannot train PQ codebooks on an empty corpus/sample"
+        )
+    if len(sample) < codebook_k:
+        raise ValueError(
+            f"sample has {len(sample)} vectors < codebook_k="
+            f"{codebook_k}; lower codebook_k or raise max_fit_rows"
+        )
     norms = np.linalg.norm(sample, axis=1, keepdims=True)
     norms[norms == 0.0] = 1.0
     sample = sample / norms

@@ -189,3 +189,48 @@ def test_trend_fill_empty(empty_events):
             ffill("value", "user_id", "ts")
         ).count() == 0
     )
+
+
+def test_round3_operators_empty(spark, empty_docs, empty_events):
+    from pywrangler_spark.operators.bpe import bpe_encode
+    from pywrangler_spark.operators.dedup import simhash_near_pairs
+    from pywrangler_spark.operators.spandedup import (
+        excise_duplicate_spans,
+        mask_duplicate_spans,
+    )
+    from pywrangler_spark.sources.layout import zorder_code
+
+    assert empty_docs.transform(
+        simhash_near_pairs("doc_id", "text")
+    ).count() == 0
+    assert empty_docs.transform(
+        mask_duplicate_spans("doc_id", "text")
+    ).count() == 0
+    assert empty_docs.transform(
+        excise_duplicate_spans("doc_id", "text")
+    ).count() == 0
+    # merge table may come from another corpus; an empty frame encodes
+    # to zero rows
+    assert empty_docs.transform(
+        bpe_encode([("a", "b")], "text")
+    ).count() == 0
+    # explicit boundaries -> no fit action on the empty frame
+    assert empty_events.transform(
+        zorder_code(
+            ["user_id", "value"], bits=2,
+            boundaries={"user_id": [1.0, 2.0, 3.0],
+                        "value": [1.0, 2.0, 3.0]},
+        )
+    ).count() == 0
+
+
+def test_pq_train_raises_clearly_on_empty(spark, empty_docs):
+    """Model fits on an empty corpus must fail with a clear error, not a
+    numpy stack trace from the middle of the trainer."""
+    from pywrangler_spark.operators.similarity import train_pq_codebooks
+
+    empty_emb = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="empty"):
+        train_pq_codebooks(empty_emb, "embedding", m=4)
