@@ -535,3 +535,38 @@ class TestStreamingCapPerKey:
             stream_cap_per_key("k", 0)
         with pytest.raises(ValueError, match="key"):
             stream_cap_per_key([], 3)
+
+
+class TestStreamingClassifier:
+    def test_scores_match_batch(self, spark, docs_stream_dir):
+        """MLlib LR transform is a per-row projection (coefficients
+        broadcast), so the fitted quality classifier serves on a stream
+        with zero state — same deployment shape as stream_lm_score."""
+        from pywrangler_spark.operators.classifier import (
+            fit_text_classifier,
+            score_text_classifier,
+        )
+
+        docs = read_parquet(spark, f"{SF}/documents.parquet")
+        labeled = docs.withColumn(
+            "lab",
+            F.when(F.col("doc_id") % 2 == 0, "a").otherwise("b"),
+        )
+        model, labels = fit_text_classifier(
+            labeled, "lab", n_features=1 << 14
+        )
+        scorer = score_text_classifier(
+            model, labels, n_features=1 << 14
+        )
+        batch = {
+            r["doc_id"]: (r["predicted_label"], r["confidence"])
+            for r in docs.transform(scorer).collect()
+        }
+        streamed = _run_stream(
+            spark, scorer, docs_stream_dir, docs.schema, "clf_eq_sink"
+        )
+        got = {
+            r["doc_id"]: (r["predicted_label"], r["confidence"])
+            for r in streamed.collect()
+        }
+        assert got == batch
