@@ -1,0 +1,69 @@
+"""Registry-wide physical-plan contracts.
+
+SCALE.md states shape invariants per operator family; these tests pin
+the load-bearing ones so a regression (an extra exchange, a lost
+broadcast, a lost scan pushdown) fails CI rather than surfacing as a
+2x slowdown at the next scale-up. Plans are built at sf0.001 — plan
+construction only; nothing here runs jobs except the queries whose
+build includes a fit phase, which are excluded.
+"""
+
+import pytest
+
+from pywrangler_spark.plans.inspect import (
+    count_exchanges,
+    explain_string,
+    scan_info,
+)
+from pywrangler_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+INTERVAL_QUERIES = [
+    "interval_last_first", "interval_first_first", "interval_first_last",
+    "interval_last_last", "interval_identical_markers",
+    "interval_raw_ids", "interval_valid_ids",
+]
+
+SCAN_SIDE_QUERIES = ["text_stats", "lang_id", "multimodal_blob_stats"]
+
+
+class TestPlanContracts:
+    @pytest.mark.parametrize("name", INTERVAL_QUERIES)
+    def test_interval_family_single_exchange(self, spark, name):
+        df = QUERIES[name](spark, SF)
+        assert count_exchanges(df) == 1, name
+
+    @pytest.mark.parametrize("name", SCAN_SIDE_QUERIES)
+    def test_text_family_zero_exchanges(self, spark, name):
+        df = QUERIES[name](spark, SF)
+        assert count_exchanges(df) == 0, name
+
+    def test_star_join_broadcasts_dimensions(self, spark):
+        df = QUERIES["q5_local_supplier_volume"](spark, SF)
+        plan = explain_string(df)
+        tree = plan.split("\n\n")[0]
+        assert tree.count("BroadcastHashJoin") >= 4
+        # fact-side shuffle only for the final aggregation
+        assert count_exchanges(df) <= 2
+
+    def test_filtered_scan_pushes_down(self, spark):
+        df = QUERIES["q6_forecast_revenue"](spark, SF)
+        scans = scan_info(df)
+        assert any(
+            s.get("pushed_filters", "[]") not in ("[]", "")
+            for s in scans
+        ), scans
+
+    def test_cap_per_key_plans_window_group_limit(self, spark):
+        df = QUERIES["cap_docs_per_source"](spark, SF)
+        assert "WindowGroupLimit" in explain_string(df)
+
+    def test_zorder_code_single_exchange(self, spark):
+        df = QUERIES["zorder_code_events"](spark, SF)
+        assert count_exchanges(df) == 1
+
+    def test_decontaminate_broadcasts_eval_grams(self, spark):
+        df = QUERIES["decontaminate_docs"](spark, SF)
+        tree = explain_string(df).split("\n\n")[0]
+        assert "BroadcastHashJoin" in tree
