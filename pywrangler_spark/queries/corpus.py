@@ -497,3 +497,45 @@ def lm_bigram_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", F.round("lm2_score", 6).alias("lm2_score"))
     )
+
+
+# ---- corpus mix execution --------------------------------------------------
+# Fixed integer budgets (2000 tokens per source) keep the oracle free of
+# fp-power arithmetic; the temperature-weighted budget derivation is
+# pytest-covered.
+_MIX_APPLY_ORACLE = f"""
+WITH meta AS (
+    SELECT doc_id, source,
+           CAST({_TOKENS_SQL} AS BIGINT) AS n_tok,
+           {_bucket_sql("mix")} AS h
+    FROM documents
+), c AS (
+    SELECT *, COALESCE(SUM(n_tok) OVER (
+        PARTITION BY source ORDER BY h, doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+    FROM meta
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs_kept,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens_kept
+FROM c WHERE before < 2000 GROUP BY source
+"""
+
+
+@register("mix_docs_to_budget", oracle=_MIX_APPLY_ORACLE)
+def mix_docs_to_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pywrangler_spark.functions.text import token_count
+    from pywrangler_spark.operators.mix import apply_token_budget_mix
+
+    docs = _docs(spark, sf_dir)
+    sources = [r["source"] for r in docs.select("source").distinct().collect()]
+    budgets = {s: 2000 for s in sources}
+    kept = docs.transform(
+        apply_token_budget_mix(budgets, "doc_id", "text", "source")
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs_kept"),
+        F.sum(token_count(F.col("text"))).cast("long").alias(
+            "n_tokens_kept"
+        ),
+    )

@@ -293,3 +293,57 @@ class TestQualityClassifier:
 
         with _pytest.raises(ValueError, match="labels"):
             fit_text_classifier(df, "label")
+
+
+class TestMixExecution:
+    def test_budgets_respected_and_deterministic(self, spark):
+        from pyspark.sql import functions as F
+
+        from pywrangler_spark.functions.text import token_count
+        from pywrangler_spark.operators.mix import (
+            apply_token_budget_mix,
+            temperature_budgets,
+        )
+        from pywrangler_spark.sources import read_parquet
+
+        docs = read_parquet(
+            spark, "/root/testdata/sf0.001/documents.parquet"
+        )
+        budgets = temperature_budgets(docs, total_tokens=5000, alpha=0.5)
+        assert sum(budgets.values()) <= 5000
+        # alpha < 1 flattens: every source gets a non-trivial budget
+        assert min(budgets.values()) > 0
+
+        kept = docs.transform(apply_token_budget_mix(budgets))
+        per_src = {
+            r["source"]: r["tok"]
+            for r in kept.groupBy("source")
+            .agg(F.sum(token_count(F.col("text"))).alias("tok"))
+            .collect()
+        }
+        # take-until-exceeded: under budget before the last kept doc,
+        # so never more than budget + one max-doc overshoot
+        max_doc = docs.agg(
+            F.max(token_count(F.col("text")))
+        ).first()[0]
+        for s, tok in per_src.items():
+            assert tok <= budgets[s] + max_doc, (s, tok, budgets[s])
+
+        again = docs.transform(apply_token_budget_mix(budgets))
+        assert sorted(r["doc_id"] for r in kept.collect()) == sorted(
+            r["doc_id"] for r in again.collect()
+        )
+
+    def test_missing_source_dropped_and_validation(self, spark):
+        import pytest as _pytest
+
+        from pywrangler_spark.operators.mix import apply_token_budget_mix
+
+        df = spark.createDataFrame(
+            [(1, "a b c", "s1"), (2, "d e f", "s2")],
+            ["doc_id", "text", "source"],
+        )
+        kept = df.transform(apply_token_budget_mix({"s1": 100}))
+        assert [r["source"] for r in kept.collect()] == ["s1"]
+        with _pytest.raises(ValueError, match="empty"):
+            apply_token_budget_mix({})
