@@ -7,6 +7,7 @@ from pywrangler_spark.streaming.dedup import stream_dedup_exact
 from pywrangler_spark.streaming.interval import stream_identify_intervals
 from pywrangler_spark.streaming.join import stream_interval_join
 from pywrangler_spark.streaming.lmscore import stream_lm_score
+from pywrangler_spark.streaming.sink import idempotent_parquet_sink
 from pywrangler_spark.streaming.rollup import stream_time_bucket_rollup
 from pywrangler_spark.streaming.sessionize import stream_session_stats
 
@@ -20,4 +21,5 @@ __all__ = [
     "stream_contamination_flag",
     "stream_lm_score",
     "stream_cap_per_key",
+    "idempotent_parquet_sink",
 ]
