@@ -75,3 +75,33 @@ class TestSparkEncode:
     def test_validation(self):
         with pytest.raises(ValueError, match="n_merges"):
             train_bpe(None, n_merges=0)
+
+
+class TestBPEProperties:
+    def test_reconstruction_property(self):
+        """For ANY corpus and merge budget: every encoded word
+        concatenates back to itself, and encoding is deterministic."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        word = st.text(alphabet="abcd", min_size=1, max_size=8)
+
+        @settings(max_examples=200, deadline=None)
+        @given(
+            corpus=st.lists(word, min_size=1, max_size=30),
+            n_merges=st.integers(min_value=1, max_value=20),
+        )
+        def check(corpus, n_merges):
+            counts = {}
+            for w in corpus:
+                k = tuple(w)
+                counts[k] = counts.get(k, 0) + 1
+            merges = _merge_loop(counts, n_merges)
+            ranks = {p: i for i, p in enumerate(merges)}
+            for w in corpus:
+                toks = apply_bpe(w, ranks)
+                assert "".join(toks) == w
+                assert toks == apply_bpe(w, ranks)
+                assert 1 <= len(toks) <= len(w)
+
+        check()
