@@ -309,3 +309,60 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.groupBy(
         "label", (F.col("pos0") + 1).alias("pos")
     ).agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid"))
+
+
+# ---- semantic dedup: cosine near-dup pairs -> components -> reps ----------
+# The embedding-space analog of dedup_clusters_jaccard: exact pair tier
+# (the verification path; LSH/IVF/PQ are the discovery tiers at scale),
+# hash-min connected components, min-id representative per cluster.
+# Singletons are their own component. Oracle: quadratic cosine join +
+# recursive-CTE reachability, identical f64 op order and ROUND(6).
+
+_SEMANTIC_ORACLE = f"""
+WITH RECURSIVE e0 AS ({_NORM_E}
+), pairs AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM e0 a JOIN e0 b ON a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.v, b.v)
+                / nullif(a.n * b.n, 0.0), 6) >= 0.3
+), e AS (
+    SELECT id_a AS s, id_b AS d FROM pairs
+    UNION ALL
+    SELECT id_b, id_a FROM pairs
+), reach(id, lab) AS (
+    SELECT s, s FROM e
+    UNION
+    SELECT e.d, r.lab FROM reach r JOIN e ON e.s = r.id
+), comp AS (
+    SELECT id, MIN(lab) AS component FROM reach GROUP BY id
+)
+SELECT emb.vec_id,
+       CAST(COALESCE(c.component, emb.vec_id) AS BIGINT) AS component,
+       COALESCE(c.component, emb.vec_id) = emb.vec_id
+           AS is_representative
+FROM embeddings emb LEFT JOIN comp c ON c.id = emb.vec_id
+"""
+
+
+@register("semantic_dedup_embeddings", oracle=_SEMANTIC_ORACLE)
+def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pywrangler_spark.operators.graph import connected_components
+
+    emb = _emb(spark, sf_dir)
+    pairs = emb.transform(
+        cosine_neardup_pairs("vec_id", "embedding", threshold=0.3)
+    ).select("id_a", "id_b")
+    cc = connected_components(
+        pairs, src="id_a", dst="id_b",
+        id_column="vec_id", component_column="component",
+    )
+    comp = F.coalesce(F.col("component"), F.col("vec_id"))
+    return (
+        emb.select("vec_id")
+        .join(cc, "vec_id", "left")
+        .select(
+            "vec_id",
+            comp.alias("component"),
+            (comp == F.col("vec_id")).alias("is_representative"),
+        )
+    )
