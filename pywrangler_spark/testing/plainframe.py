@@ -22,8 +22,15 @@ import datetime as _dt
 import math
 from typing import Any, Dict, Iterable, List, Mapping, Optional, Sequence, Tuple
 
-TYPES = ("bool", "int", "float", "str", "datetime")
-_ABBREVIATIONS = {"b": "bool", "i": "int", "f": "float", "s": "str", "d": "datetime"}
+#: the reference's five primitive dtypes, plus the two extended dtypes
+#: the multimodal/embedding operators need (the ONE deliberate extension
+#: over the reference's type system — SURVEY.md §7 M5): ``floatarray``
+#: (array<double>, embeddings) and ``binary`` (opaque blobs)
+TYPES = ("bool", "int", "float", "str", "datetime", "floatarray", "binary")
+_ABBREVIATIONS = {
+    "b": "bool", "i": "int", "f": "float", "s": "str", "d": "datetime",
+    "fa": "floatarray", "y": "binary",
+}
 
 
 class _NullValue:
@@ -105,6 +112,15 @@ def _check_value(value: Any, dtype: str, column: str) -> Any:
             return value
         if isinstance(value, str):
             return _dt.datetime.fromisoformat(value)
+    elif dtype == "floatarray":
+        if isinstance(value, (list, tuple)) and all(
+            isinstance(v, (int, float)) and not isinstance(v, bool)
+            for v in value
+        ):
+            return tuple(float(v) for v in value)
+    elif dtype == "binary":
+        if isinstance(value, (bytes, bytearray)):
+            return bytes(value)
     raise TypeError(
         f"column {column!r}: value {value!r} is not a valid {dtype}"
     )
@@ -142,6 +158,10 @@ def _value_equal(a: Any, b: Any) -> bool:
         return _is_nan(a) and _is_nan(b)
     if isinstance(a, float) or isinstance(b, float):
         return math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-12)
+    if isinstance(a, tuple) and isinstance(b, tuple):  # floatarray
+        return len(a) == len(b) and all(
+            _value_equal(x, y) for x, y in zip(a, b)
+        )
     return a == b
 
 
@@ -155,6 +175,8 @@ def _sort_key(v: Any) -> Tuple:
         return (0, "")
     if _is_nan(v):
         return (1, "")
+    if isinstance(v, tuple):  # floatarray: NaN-safe elementwise key
+        return (2, "tuple", tuple(_sort_key(x) for x in v))
     return (2, str(type(v).__name__), v if not isinstance(v, _dt.datetime) else v.isoformat())
 
 
@@ -300,13 +322,21 @@ class PlainFrame:
                     NULL if pd.isna(v) else v.to_pydatetime() for v in s
                 ]
             else:
-                dtype = forced or "str"
                 vals = [
                     NULL
                     if (v is None or v is PANDAS_NULL or (isinstance(v, float) and v != v))
                     else v
                     for v in s
                 ]
+                sample = next((v for v in vals if v is not NULL), None)
+                if forced is None and isinstance(sample, (list, tuple)):
+                    dtype = "floatarray"
+                elif forced is None and isinstance(
+                    sample, (bytes, bytearray)
+                ):
+                    dtype = "binary"
+                else:
+                    dtype = forced or "str"
             columns.append(PlainColumn(name, forced or dtype, vals))
         return cls(columns)
 
@@ -328,9 +358,16 @@ class PlainFrame:
             T.TimestampType: "datetime",
             T.TimestampNTZType: "datetime",
             T.DateType: "datetime",
+            T.BinaryType: "binary",
         }
         dtypes = []
         for field in df.schema.fields:
+            if isinstance(field.dataType, T.ArrayType) and isinstance(
+                field.dataType.elementType,
+                (T.FloatType, T.DoubleType, T.IntegerType, T.LongType),
+            ):
+                dtypes.append("floatarray")
+                continue
             for spark_type, plain in mapping.items():
                 if isinstance(field.dataType, spark_type):
                     dtypes.append(plain)
@@ -351,6 +388,10 @@ class PlainFrame:
                     vals.append(_dt.datetime(v.year, v.month, v.day))
                 elif dtypes[idx] == "float":
                     vals.append(float(v))
+                elif dtypes[idx] == "floatarray":
+                    vals.append(tuple(float(x) for x in v))
+                elif dtypes[idx] == "binary":
+                    vals.append(bytes(v))
                 else:
                     vals.append(v)
             columns.append(PlainColumn(field.name, dtypes[idx], vals))
@@ -430,6 +471,8 @@ class PlainFrame:
             "float": T.DoubleType(),
             "str": T.StringType(),
             "datetime": T.TimestampType(),
+            "floatarray": T.ArrayType(T.DoubleType(), False),
+            "binary": T.BinaryType(),
         }
         schema = T.StructType(
             [
@@ -437,8 +480,17 @@ class PlainFrame:
                 for c in self._columns
             ]
         )
+        array_cols = {
+            i for i, c in enumerate(self._columns)
+            if c.dtype == "floatarray"
+        }
         rows = [
-            tuple(None if v is NULL else v for v in row)
+            tuple(
+                None if v is NULL
+                # tuples would be read as STRUCTS by createDataFrame
+                else (list(v) if i in array_cols else v)
+                for i, v in enumerate(row)
+            )
             for row in self.rows()
         ]
         return spark.createDataFrame(rows, schema=schema)

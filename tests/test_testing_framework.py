@@ -263,3 +263,53 @@ class TestDataTestCaseEndToEnd:
         coll = TestCollection([_IntervalCase], name="intervals")
         assert coll.names == ["_IntervalCase"]
         assert coll.pytest_parametrize is not None
+
+
+class TestExtendedDtypes:
+    """The one deliberate extension over the reference's 5-type system:
+    floatarray (embeddings) and binary (multimodal blobs), with full
+    conversion-matrix round-trips and NULL support."""
+
+    def _frame(self):
+        from pywrangler_spark.testing.plainframe import NULL, PlainFrame
+
+        return PlainFrame.from_dict({
+            "id:i": (1, 2, 3),
+            "emb:fa": ((1.0, 2.0), (3.5, 4.5), NULL),
+            "blob:y": (b"\x01\x02", NULL, b""),
+        })
+
+    def test_pyspark_roundtrip(self, spark):
+        from pywrangler_spark.testing.plainframe import PlainFrame
+
+        pf = self._frame()
+        df = pf.to_pyspark(spark)
+        types = dict(df.dtypes)
+        assert types["emb"] == "array<double>"
+        assert types["blob"] == "binary"
+        PlainFrame.from_pyspark(df).assert_equal(pf)
+
+    def test_pandas_roundtrip_with_inference(self, spark):
+        from pywrangler_spark.testing.plainframe import PlainFrame
+
+        pf = self._frame()
+        again = PlainFrame.from_pandas(pf.to_pandas())
+        assert again.dtypes == ["int", "floatarray", "binary"]
+        again.assert_equal(pf)
+
+    def test_value_validation(self):
+        import pytest as _pytest
+
+        from pywrangler_spark.testing.plainframe import PlainFrame
+
+        with _pytest.raises(TypeError, match="floatarray"):
+            PlainFrame.from_dict({"e:fa": (("x", "y"),)})
+        with _pytest.raises(TypeError, match="binary"):
+            PlainFrame.from_dict({"b:y": ("not-bytes",)})
+
+    def test_float_tolerance_inside_arrays(self):
+        from pywrangler_spark.testing.plainframe import PlainFrame
+
+        a = PlainFrame.from_dict({"e:fa": ((0.1 + 0.2,),)})
+        b = PlainFrame.from_dict({"e:fa": ((0.3,),)})
+        a.assert_equal(b)
