@@ -313,3 +313,39 @@ class TestExtendedDtypes:
         a = PlainFrame.from_dict({"e:fa": ((0.1 + 0.2,),)})
         b = PlainFrame.from_dict({"e:fa": ((0.3,),)})
         a.assert_equal(b)
+
+
+class TestExtendedDtypeDataTestCase:
+    def test_golden_case_with_embeddings_and_blobs(self, spark):
+        """DataTestCase drives an embedding+blob operator end-to-end with
+        the extended dtypes — the golden-data workflow the reference
+        pioneered, now covering the multimodal surface."""
+        from pyspark.sql import functions as F
+
+        from pywrangler_spark.testing.datatestcase import DataTestCase
+        from pywrangler_spark.testing.plainframe import NULL
+
+        class EmbNormAndBlobSize(DataTestCase):
+            input = {
+                "id:i": (1, 2, 3),
+                "emb:fa": ((3.0, 4.0), (0.0, 0.0), NULL),
+                "blob:y": (b"\x00\x01\x02", b"", NULL),
+            }
+            output = {
+                "id:i": (1, 2, 3),
+                "l2:f": (5.0, 0.0, NULL),
+                "blob_bytes:i": (3, 0, NULL),
+            }
+
+        def func(df):
+            return df.select(
+                "id",
+                F.sqrt(
+                    F.aggregate(
+                        "emb", F.lit(0.0), lambda a, x: a + x * x
+                    )
+                ).alias("l2"),
+                F.length("blob").cast("long").alias("blob_bytes"),
+            )
+
+        EmbNormAndBlobSize().test(func, engine="pyspark", spark=spark)
