@@ -209,6 +209,29 @@ class TestSimilarity:
         a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
         assert len(e & a) / len(e) >= 0.5
 
+    def test_ivfpq_recall_vs_bruteforce(self, spark):
+        """The stacked composition (cell pruning x quantized ranking)
+        must clear the gate floor with margin on random vectors."""
+        from pywrangler_spark.operators.similarity import (
+            topk_cosine_ivfpq,
+        )
+        from pywrangler_spark.sources import read_parquet
+
+        emb = read_parquet(
+            spark, "/root/testdata/sf0.01/embeddings.parquet"
+        )
+        qf = F.col("vec_id") % 40 == 0
+        exact = topk_cosine("vec_id", "embedding", k=10, query_filter=qf)(
+            emb
+        )
+        approx = topk_cosine_ivfpq(
+            "vec_id", "embedding", k=10, n_centroids=16, n_probe=4,
+            m=16, codebook_k=64, query_filter=qf,
+        )(emb)
+        e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+        a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+        assert len(e & a) / len(e) >= 0.4
+
     def test_pq_fit_validation(self, spark, embeddings):
         from pywrangler_spark.operators.similarity import (
             train_pq_codebooks,
