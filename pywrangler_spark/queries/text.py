@@ -638,3 +638,55 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.every(per_doc_ok).alias("bounds_ok"),
     )
+
+
+# ---- hashed doc vectors + model-free semantic near-dup ---------------------
+# Signed feature hashing (md5 arithmetic, bit-reproducible) gives every
+# document a dense 64-d vector; exact cosine pairs over those vectors
+# are then fully hash-checkable — the model-free text -> ANN bridge.
+_DOCVEC_NEARDUP_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok
+    FROM documents
+), t2 AS (SELECT * FROM toks WHERE tok <> ''),
+h AS (
+    SELECT doc_id, ('0x' || substr(md5(tok), 1, 14))::BIGINT AS h FROM t2
+), cell AS (
+    SELECT doc_id, h % 64 AS idx,
+           CASE WHEN (h & (1::BIGINT << 55)) != 0
+                THEN 1.0 ELSE -1.0 END AS s
+    FROM h
+), agg AS (
+    SELECT doc_id, idx, CAST(SUM(s) AS DOUBLE) AS v
+    FROM cell GROUP BY 1, 2
+), vecm AS (
+    SELECT doc_id, map(list(idx), list(v)) AS m FROM agg GROUP BY doc_id
+), vec AS (
+    SELECT doc_id,
+           list_transform(range(0, 64), i -> coalesce(m[i][1], 0.0)) AS v
+    FROM vecm
+), e AS (
+    SELECT doc_id, v, sqrt(list_dot_product(v, v)) AS n FROM vec
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(list_dot_product(a.v, b.v) / nullif(a.n * b.n, 0.0), 6)
+           AS cosine
+FROM e a JOIN e b ON a.doc_id < b.doc_id
+WHERE round(list_dot_product(a.v, b.v) / nullif(a.n * b.n, 0.0), 6)
+      >= 0.5
+"""
+
+
+@register("docvec_neardup_pairs", oracle=_DOCVEC_NEARDUP_ORACLE)
+def docvec_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pywrangler_spark.operators.docvec import hashed_doc_vectors
+    from pywrangler_spark.operators.similarity import cosine_neardup_pairs
+
+    vecs = _docs(spark, sf_dir).transform(
+        hashed_doc_vectors("doc_id", "text", dim=64)
+    )
+    return (
+        vecs.transform(
+            cosine_neardup_pairs("id", "doc_vec", threshold=0.5)
+        )
+    )

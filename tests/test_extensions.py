@@ -542,3 +542,41 @@ class TestClusteredWrite:
             assert hi1 < lo2
         # full key span covered
         assert ranges[0][0] == 0 and ranges[-1][1] == 9999
+
+
+class TestDocVectors:
+    def test_planted_neardup_found_and_vectors_deterministic(
+        self, spark, docs
+    ):
+        from pywrangler_spark.operators.docvec import hashed_doc_vectors
+        from pywrangler_spark.operators.similarity import (
+            cosine_neardup_pairs,
+        )
+
+        edited = docs.filter(F.col("doc_id") < 2).select(
+            (F.col("doc_id") + 10_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zzqx")).alias("text"),
+        )
+        planted = docs.select("doc_id", "text").union(edited)
+        vecs = planted.transform(hashed_doc_vectors(dim=64))
+        pairs = {
+            (r.id_a, r.id_b): r.cosine
+            for r in vecs.transform(
+                cosine_neardup_pairs("id", "doc_vec", threshold=0.9)
+            ).collect()
+        }
+        for doc_id in range(2):
+            assert (doc_id, doc_id + 10_000) in pairs
+
+        again = planted.transform(hashed_doc_vectors(dim=64))
+        a = {r["id"]: r["doc_vec"] for r in vecs.collect()}
+        b = {r["id"]: r["doc_vec"] for r in again.collect()}
+        assert a == b
+
+    def test_validation(self):
+        import pytest as _pytest
+
+        from pywrangler_spark.operators.docvec import hashed_doc_vectors
+
+        with _pytest.raises(ValueError, match="dim"):
+            hashed_doc_vectors(dim=1)
