@@ -1,0 +1,149 @@
+"""Column-cleaning wranglers: winsorization and group-wise imputation —
+the classic whole-DataFrame transformers of the reference's wrangler
+family, applied to numeric hygiene.
+
+Both operators compute their statistics with ONE grouped aggregation
+(exact ``percentile`` / ``avg`` / ``mode``), broadcast the tiny
+per-group stats table back, and apply the edit as a scan-side
+projection — the fit/apply split every sklearn-style transformer has,
+expressed as two Spark stages with a broadcast join between them.
+Cutoffs and imputed values are rounded to 6 dp so reruns and engines
+agree (the same discipline as the percentile quality gate).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence, Union
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pywrangler_spark.util import ensure_iterable
+
+
+def winsorize(
+    columns: Union[str, Sequence[str]],
+    lower: float = 0.05,
+    upper: float = 0.95,
+    group_by: Union[str, Sequence[str], None] = None,
+) -> Callable[[DataFrame], DataFrame]:
+    """Clip each column to its [lower, upper] exact percentile band,
+    optionally per group. NULLs pass through unclipped; output schema =
+    input schema (clipped columns become double)."""
+    cols = list(ensure_iterable(columns))
+    if not cols:
+        raise ValueError("winsorize requires at least one column")
+    if not 0.0 <= lower < upper <= 1.0:
+        raise ValueError(f"need 0 <= lower < upper <= 1, got {lower},{upper}")
+    groups = list(ensure_iterable(group_by)) if group_by else []
+
+    def _transform(df: DataFrame) -> DataFrame:
+        aggs = []
+        for c in cols:
+            aggs.append(
+                F.round(
+                    F.expr(f"percentile(CAST({c} AS DOUBLE), {lower}D)"), 6
+                ).alias(f"_lo_{c}")
+            )
+            aggs.append(
+                F.round(
+                    F.expr(f"percentile(CAST({c} AS DOUBLE), {upper}D)"), 6
+                ).alias(f"_hi_{c}")
+            )
+        if groups:
+            stats = df.groupBy(*groups).agg(*aggs)
+            joined = df.join(F.broadcast(stats), groups, "left")
+        else:
+            stats = df.agg(*aggs)
+            joined = df.crossJoin(F.broadcast(stats))
+        out_cols = []
+        for name in df.columns:
+            if name in cols:
+                v = F.col(name).cast("double")
+                clipped = F.least(
+                    F.greatest(v, F.col(f"_lo_{name}")),
+                    F.col(f"_hi_{name}"),
+                )
+                out_cols.append(
+                    F.when(v.isNull(), None).otherwise(clipped).alias(name)
+                )
+            else:
+                out_cols.append(F.col(name))
+        return joined.select(*out_cols)
+
+    _transform.__name__ = "winsorize"
+    return _transform
+
+
+def impute(
+    columns: Union[str, Sequence[str]],
+    strategy: str = "median",
+    group_by: Union[str, Sequence[str], None] = None,
+) -> Callable[[DataFrame], DataFrame]:
+    """Fill NULLs in numeric columns with the group (or global)
+    ``median`` / ``mean`` / ``mode``. Groups whose statistic is NULL
+    (all-NULL group) stay NULL. Ties in ``mode`` break on the smaller
+    value (deterministic)."""
+    cols = list(ensure_iterable(columns))
+    if not cols:
+        raise ValueError("impute requires at least one column")
+    if strategy not in ("median", "mean", "mode"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    groups = list(ensure_iterable(group_by)) if group_by else []
+
+    def _stat(c: str):
+        if strategy == "median":
+            return F.round(
+                F.expr(f"percentile(CAST({c} AS DOUBLE), 0.5D)"), 6
+            )
+        return F.round(F.avg(F.col(c).cast("double")), 6)  # mean
+
+    def _transform(df: DataFrame) -> DataFrame:
+        if strategy == "mode":
+            # mode needs its own value-level aggregation per column
+            fills = None
+            for c in cols:
+                counts = (
+                    df.filter(F.col(c).isNotNull())
+                    .groupBy(*groups, F.col(c).cast("double").alias("_v"))
+                    .agg(F.count(F.lit(1)).alias("_n"))
+                )
+                best = counts.groupBy(*groups).agg(
+                    F.expr(
+                        "max_by(_v, named_struct('n', _n, 'v', -_v))"
+                    ).alias(f"_fill_{c}")
+                )
+                fills = (
+                    best
+                    if fills is None
+                    else (
+                        fills.join(best, groups, "outer")
+                        if groups
+                        else fills.crossJoin(best)
+                    )
+                )
+        else:
+            aggs = [_stat(c).alias(f"_fill_{c}") for c in cols]
+            fills = (
+                df.groupBy(*groups).agg(*aggs) if groups else df.agg(*aggs)
+            )
+        joined = (
+            df.join(F.broadcast(fills), groups, "left")
+            if groups
+            else df.crossJoin(F.broadcast(fills))
+        )
+        out_cols = []
+        for name in df.columns:
+            if name in cols:
+                out_cols.append(
+                    F.coalesce(
+                        F.col(name).cast("double"),
+                        F.col(f"_fill_{name}"),
+                    ).alias(name)
+                )
+            else:
+                out_cols.append(F.col(name))
+        return joined.select(*out_cols)
+
+    _transform.__name__ = "impute"
+    return _transform

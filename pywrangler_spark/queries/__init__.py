@@ -57,7 +57,8 @@ _PRIORITY = [
     "zorder_code_events", "classifier_quality_gate", "bpe_token_stats",
     "lm_bigram_score_docs", "mix_docs_to_budget",
     "semantic_dedup_embeddings", "ann_topk_ivfpq",
-    "docvec_neardup_pairs",
+    "docvec_neardup_pairs", "winsorize_event_values",
+    "impute_event_values",
     # least-recently-verified: round-1-green families with no round-2 row
     "interval_first_first", "interval_first_last", "interval_last_last",
     "interval_identical_markers", "interval_raw_ids", "interval_valid_ids",

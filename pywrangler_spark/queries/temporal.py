@@ -943,3 +943,56 @@ def zorder_code_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("user_id").cast("long").alias("max_user"),
         )
     )
+
+
+# ---- numeric hygiene wranglers --------------------------------------------
+# Exact-percentile winsorization and group-median imputation; cutoffs
+# and fills ROUND(6) in both engines (quantile_cont == Spark percentile,
+# continuous interpolation — the proven quality-gate discipline).
+_WINSOR_ORACLE = """
+WITH cuts AS (
+    SELECT event_type,
+           round(quantile_cont(CAST("value" AS DOUBLE), 0.05), 6) AS lo,
+           round(quantile_cont(CAST("value" AS DOUBLE), 0.95), 6) AS hi
+    FROM events GROUP BY 1
+)
+SELECT e.event_id,
+       CASE WHEN e."value" IS NULL THEN NULL
+            ELSE least(greatest(CAST(e."value" AS DOUBLE), c.lo), c.hi)
+       END AS value_w
+FROM events e JOIN cuts c USING (event_type)
+"""
+
+
+@register("winsorize_event_values", oracle=_WINSOR_ORACLE)
+def winsorize_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pywrangler_spark.operators.clean import winsorize
+
+    return (
+        _events(spark, sf_dir)
+        .transform(winsorize("value", 0.05, 0.95, group_by="event_type"))
+        .select("event_id", F.col("value").alias("value_w"))
+    )
+
+
+_IMPUTE_ORACLE = """
+WITH fills AS (
+    SELECT event_type,
+           round(quantile_cont(CAST("value" AS DOUBLE), 0.5), 6) AS f
+    FROM events GROUP BY 1
+)
+SELECT e.event_id,
+       COALESCE(CAST(e."value" AS DOUBLE), f.f) AS value_i
+FROM events e LEFT JOIN fills f USING (event_type)
+"""
+
+
+@register("impute_event_values", oracle=_IMPUTE_ORACLE)
+def impute_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pywrangler_spark.operators.clean import impute
+
+    return (
+        _events(spark, sf_dir)
+        .transform(impute("value", "median", group_by="event_type"))
+        .select("event_id", F.col("value").alias("value_i"))
+    )

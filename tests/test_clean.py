@@ -1,0 +1,81 @@
+"""Winsorize / impute wrangler tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pywrangler_spark.operators.clean import impute, winsorize
+
+
+@pytest.fixture(scope="module")
+def frame(spark):
+    return spark.createDataFrame(
+        [
+            ("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("a", 100.0),
+            ("b", 10.0), ("b", None), ("b", 30.0),
+        ],
+        "grp string, v double",
+    )
+
+
+class TestWinsorize:
+    def test_clips_outlier_per_group(self, spark, frame):
+        out = {
+            (r["grp"], i): r["v"]
+            for i, r in enumerate(
+                frame.transform(
+                    winsorize("v", 0.0, 0.9, group_by="grp")
+                ).collect()
+            )
+        }
+        vals_a = [v for (g, _), v in out.items() if g == "a"]
+        # p90 of group a (1,2,3,4,100) interpolates to 61.6; the 100
+        # outlier clips down, everything else unchanged
+        assert max(vals_a) == pytest.approx(61.6)
+        assert sorted(vals_a)[:4] == [1.0, 2.0, 3.0, 4.0]
+
+    def test_nulls_pass_through(self, spark, frame):
+        out = frame.transform(winsorize("v", 0.1, 0.9, group_by="grp"))
+        assert out.filter(F.col("v").isNull()).count() == 1
+        assert out.columns == frame.columns
+
+    def test_validation(self):
+        with pytest.raises(ValueError, match="lower"):
+            winsorize("v", 0.9, 0.1)
+        with pytest.raises(ValueError, match="column"):
+            winsorize([])
+
+
+class TestImpute:
+    def test_group_median(self, spark, frame):
+        out = frame.transform(impute("v", "median", group_by="grp"))
+        filled = [
+            r["v"]
+            for r in out.filter(F.col("grp") == "b").collect()
+        ]
+        assert sorted(filled) == [10.0, 20.0, 30.0]  # median(10,30)=20
+
+    def test_global_mean(self, spark, frame):
+        out = frame.transform(impute("v", "mean"))
+        assert out.filter(F.col("v").isNull()).count() == 0
+
+    def test_group_mode_with_tiebreak(self, spark):
+        df = spark.createDataFrame(
+            [("a", 5.0), ("a", 5.0), ("a", 7.0), ("a", None),
+             ("b", 1.0), ("b", 2.0), ("b", None)],
+            "grp string, v double",
+        )
+        out = {
+            r["grp"]: sorted(
+                x["v"] for x in df.transform(
+                    impute("v", "mode", group_by="grp")
+                ).filter(F.col("grp") == r["grp"]).collect()
+            )
+            for r in df.select("grp").distinct().collect()
+        }
+        assert out["a"] == [5.0, 5.0, 5.0, 7.0]
+        # tie (1.0 vs 2.0, both count 1) breaks to the smaller value
+        assert out["b"] == [1.0, 1.0, 2.0]
+
+    def test_validation(self):
+        with pytest.raises(ValueError, match="strategy"):
+            impute("v", "max")
