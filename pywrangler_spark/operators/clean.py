@@ -147,3 +147,105 @@ def impute(
 
     _transform.__name__ = "impute"
     return _transform
+
+
+def scale(
+    columns: Union[str, Sequence[str]],
+    method: str = "zscore",
+    group_by: Union[str, Sequence[str], None] = None,
+) -> Callable[[DataFrame], DataFrame]:
+    """Rescale numeric columns per group (or globally):
+
+    - ``zscore``: (x - mean) / stddev_samp — constant columns (stddev 0
+      or NULL) scale to 0.0;
+    - ``minmax``: (x - min) / (max - min) — constant columns scale to
+      0.0.
+
+    NULLs stay NULL. Same fit/apply shape as :func:`winsorize`; stats
+    round to 6 dp for cross-engine/rerun reproducibility.
+    """
+    cols = list(ensure_iterable(columns))
+    if not cols:
+        raise ValueError("scale requires at least one column")
+    if method not in ("zscore", "minmax"):
+        raise ValueError(f"unknown method {method!r}")
+    groups = list(ensure_iterable(group_by)) if group_by else []
+
+    def _transform(df: DataFrame) -> DataFrame:
+        aggs = []
+        for c in cols:
+            v = F.col(c).cast("double")
+            if method == "zscore":
+                aggs.append(F.round(F.avg(v), 6).alias(f"_a_{c}"))
+                aggs.append(F.round(F.stddev_samp(v), 6).alias(f"_b_{c}"))
+            else:
+                aggs.append(F.round(F.min(v), 6).alias(f"_a_{c}"))
+                aggs.append(
+                    F.round(F.max(v) - F.min(v), 6).alias(f"_b_{c}")
+                )
+        if groups:
+            stats = df.groupBy(*groups).agg(*aggs)
+            joined = df.join(F.broadcast(stats), groups, "left")
+        else:
+            joined = df.crossJoin(F.broadcast(df.agg(*aggs)))
+        out_cols = []
+        for name in df.columns:
+            if name in cols:
+                v = F.col(name).cast("double")
+                denom = F.col(f"_b_{name}")
+                scaled = F.when(
+                    denom.isNull() | (denom == 0.0), F.lit(0.0)
+                ).otherwise((v - F.col(f"_a_{name}")) / denom)
+                out_cols.append(
+                    F.when(v.isNull(), None)
+                    .otherwise(F.round(scaled, 6))
+                    .alias(name)
+                )
+            else:
+                out_cols.append(F.col(name))
+        return joined.select(*out_cols)
+
+    _transform.__name__ = "scale"
+    return _transform
+
+
+def frequency_encode(
+    columns: Union[str, Sequence[str]],
+    relative: bool = True,
+    suffix: str = "_freq",
+) -> Callable[[DataFrame], DataFrame]:
+    """Append, for each categorical column, its value frequency —
+    ``count(value) / count(*)`` when ``relative`` (rounded to 6 dp),
+    else the raw count. NULL categories encode as NULL. The frequency
+    table per column is tiny (one row per distinct value) and
+    broadcasts; the encode is a map-side join — the classic
+    high-cardinality-safe categorical encoding for tree/linear models.
+    """
+    cols = list(ensure_iterable(columns))
+    if not cols:
+        raise ValueError("frequency_encode requires at least one column")
+
+    def _transform(df: DataFrame) -> DataFrame:
+        out = df
+        total = df.count() if relative else None
+        for c in cols:
+            freq = (
+                df.filter(F.col(c).isNotNull())
+                .groupBy(F.col(c).alias(f"_k_{c}"))
+                .agg(F.count(F.lit(1)).alias("_n"))
+            )
+            enc = (
+                F.round(F.col("_n") / F.lit(float(total)), 6)
+                if relative
+                else F.col("_n").cast("long")
+            )
+            freq = freq.select(f"_k_{c}", enc.alias(c + suffix))
+            out = out.join(
+                F.broadcast(freq),
+                out[c] == freq[f"_k_{c}"],
+                "left",
+            ).drop(f"_k_{c}")
+        return out
+
+    _transform.__name__ = "frequency_encode"
+    return _transform

@@ -996,3 +996,30 @@ def impute_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(impute("value", "median", group_by="event_type"))
         .select("event_id", F.col("value").alias("value_i"))
     )
+
+
+_SCALE_ORACLE = """
+WITH s AS (
+    SELECT event_type,
+           round(avg(CAST("value" AS DOUBLE)), 6) AS a,
+           round(stddev_samp(CAST("value" AS DOUBLE)), 6) AS b
+    FROM events GROUP BY 1
+)
+SELECT e.event_id,
+       CASE WHEN e."value" IS NULL THEN NULL
+            WHEN s.b IS NULL OR s.b = 0.0 THEN 0.0
+            ELSE round((CAST(e."value" AS DOUBLE) - s.a) / s.b, 6)
+       END AS value_z
+FROM events e LEFT JOIN s USING (event_type)
+"""
+
+
+@register("scale_event_values", oracle=_SCALE_ORACLE)
+def scale_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pywrangler_spark.operators.clean import scale
+
+    return (
+        _events(spark, sf_dir)
+        .transform(scale("value", "zscore", group_by="event_type"))
+        .select("event_id", F.col("value").alias("value_z"))
+    )

@@ -690,3 +690,27 @@ def docvec_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             cosine_neardup_pairs("id", "doc_vec", threshold=0.5)
         )
     )
+
+
+_FREQ_ORACLE = """
+WITH f AS (
+    SELECT source, count(*) AS n FROM documents
+    WHERE source IS NOT NULL GROUP BY 1
+), tot AS (SELECT count(*) AS t FROM documents)
+SELECT d.doc_id,
+       round(f.n * 1.0 / tot.t, 6) AS source_freq
+FROM documents d
+LEFT JOIN f USING (source)
+CROSS JOIN tot
+"""
+
+
+@register("frequency_encode_sources", oracle=_FREQ_ORACLE)
+def frequency_encode_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pywrangler_spark.operators.clean import frequency_encode
+
+    return (
+        _docs(spark, sf_dir)
+        .transform(frequency_encode("source"))
+        .select("doc_id", F.col("source_freq"))
+    )

@@ -3,7 +3,12 @@
 import pytest
 from pyspark.sql import functions as F
 
-from pywrangler_spark.operators.clean import impute, winsorize
+from pywrangler_spark.operators.clean import (
+    frequency_encode,
+    impute,
+    winsorize,
+)
+from pywrangler_spark.operators.clean import scale as scale_op
 
 
 @pytest.fixture(scope="module")
@@ -79,3 +84,47 @@ class TestImpute:
     def test_validation(self):
         with pytest.raises(ValueError, match="strategy"):
             impute("v", "max")
+
+
+class TestScale:
+    def test_group_zscore(self, spark, frame):
+        out = frame.transform(scale_op("v", "zscore", group_by="grp"))
+        b = sorted(
+            r["v"] for r in out.filter(
+                (F.col("grp") == "b") & F.col("v").isNotNull()
+            ).collect()
+        )
+        # group b values 10, 30: mean 20, stddev_samp ~14.142136
+        assert b[0] == pytest.approx(-0.707107, abs=1e-6)
+        assert b[1] == pytest.approx(0.707107, abs=1e-6)
+        assert out.filter(F.col("v").isNull()).count() == 1
+
+    def test_minmax_and_constant_column(self, spark):
+        df = spark.createDataFrame(
+            [("a", 1.0), ("a", 3.0), ("b", 5.0), ("b", 5.0)],
+            "grp string, v double",
+        )
+        out = {
+            (r["grp"], r["v"])
+            for r in df.transform(
+                scale_op("v", "minmax", group_by="grp")
+            ).collect()
+        }
+        assert ("a", 0.0) in out and ("a", 1.0) in out
+        # constant group scales to 0.0, not NaN/NULL
+        assert out == {("a", 0.0), ("a", 1.0), ("b", 0.0)}
+
+
+class TestFrequencyEncode:
+    def test_relative_and_null(self, spark):
+        df = spark.createDataFrame(
+            [(1, "x"), (2, "x"), (3, "y"), (4, None)],
+            "id long, cat string",
+        )
+        out = {
+            r["id"]: r["cat_freq"]
+            for r in df.transform(frequency_encode("cat")).collect()
+        }
+        assert out[1] == out[2] == 0.5
+        assert out[3] == 0.25
+        assert out[4] is None
