@@ -128,3 +128,61 @@ class TestFrequencyEncode:
         assert out[1] == out[2] == 0.5
         assert out[3] == 0.25
         assert out[4] is None
+
+
+class TestCleanGoldenWithMutants:
+    def test_winsorize_golden_case_kills_mutants(self, spark):
+        """Reference-style golden DataTestCase with mutation testing:
+        the expected output must be sensitive to every planted input
+        mutation (a silent pass on mutated input = a dead test)."""
+        from pywrangler_spark.testing.datatestcase import DataTestCase
+
+        class WinsorizeCase(DataTestCase):
+            input = {
+                "grp:s": ("a", "a", "a", "a"),
+                "v:f": (1.0, 2.0, 3.0, 100.0),
+            }
+            # p[0, 0.75] band of (1,2,3,100): hi = 3 + 0.25*97 ... use
+            # upper=0.5 → hi = 2.5; lower=0 → lo = 1.0
+            output = {
+                "grp:s": ("a", "a", "a", "a"),
+                "v:f": (1.0, 2.0, 2.5, 2.5),
+            }
+            mutants = [
+                {("v", 3): 2.0},   # outlier removed → band changes
+                {("v", 0): -50.0},  # new low outlier → lo changes
+            ]
+
+        WinsorizeCase().test(
+            lambda df: df.transform(
+                winsorize("v", 0.0, 0.5, group_by="grp")
+            ),
+            engine="pyspark",
+            spark=spark,
+        )
+
+    def test_impute_golden_case_kills_mutants(self, spark):
+        from pywrangler_spark.testing.datatestcase import DataTestCase
+        from pywrangler_spark.testing.plainframe import NULL
+
+        class ImputeCase(DataTestCase):
+            input = {
+                "grp:s": ("a", "a", "a", "b", "b"),
+                "v:f": (1.0, 3.0, NULL, 7.0, NULL),
+            }
+            output = {
+                "grp:s": ("a", "a", "a", "b", "b"),
+                "v:f": (1.0, 3.0, 2.0, 7.0, 7.0),
+            }
+            mutants = [
+                {("v", 1): 5.0},  # group-a median moves
+                {("v", 3): 9.0},  # group-b fill moves
+            ]
+
+        ImputeCase().test(
+            lambda df: df.transform(
+                impute("v", "median", group_by="grp")
+            ),
+            engine="pyspark",
+            spark=spark,
+        )
