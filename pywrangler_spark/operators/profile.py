@@ -117,3 +117,54 @@ def histogram(
         )
 
     return _transform
+
+
+def profile_drift(
+    reference: DataFrame,
+    columns: Union[str, Sequence[str]],
+    exact: bool = True,
+) -> Callable[[DataFrame], DataFrame]:
+    """Per-column drift between the input frame (current snapshot) and a
+    ``reference`` frame: null-rate delta, distinct-count ratio and
+    min/max range shifts — the ingest-monitoring check a production
+    corpus pipeline runs on every new partition before accepting it.
+
+    Both sides run :func:`column_profile` (one scan + one single-row
+    aggregation each); the comparison joins two tiny long tables, so the
+    whole operator adds O(columns) rows of work beyond the two scans.
+    Rates round to 6 dp for reproducibility.
+    """
+
+    def _transform(df: DataFrame) -> DataFrame:
+        cur = df.transform(column_profile(columns, exact))
+        ref = reference.transform(column_profile(columns, exact))
+        c = cur.select(
+            "column_name",
+            F.col("n_rows").alias("_cn"),
+            F.col("n_nonnull").alias("_cnn"),
+            F.col("n_distinct").alias("_cnd"),
+            F.col("min_value").alias("_cmn"),
+            F.col("max_value").alias("_cmx"),
+        )
+        r = ref.select(
+            "column_name",
+            F.col("n_rows").alias("_rn"),
+            F.col("n_nonnull").alias("_rnn"),
+            F.col("n_distinct").alias("_rnd"),
+            F.col("min_value").alias("_rmn"),
+            F.col("max_value").alias("_rmx"),
+        )
+        null_rate = lambda nn, n: 1.0 - F.col(nn) / F.col(n)  # noqa: E731
+        return c.join(r, "column_name").select(
+            "column_name",
+            F.round(
+                null_rate("_cnn", "_cn") - null_rate("_rnn", "_rn"), 6
+            ).alias("null_rate_delta"),
+            F.round(
+                F.col("_cnd") / F.nullif(F.col("_rnd"), F.lit(0)), 6
+            ).alias("distinct_ratio"),
+            F.round(F.col("_cmn") - F.col("_rmn"), 6).alias("min_shift"),
+            F.round(F.col("_cmx") - F.col("_rmx"), 6).alias("max_shift"),
+        )
+
+    return _transform

@@ -1578,3 +1578,54 @@ def approx_quantiles_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(approx - exact) <= F.lit(0.05) * F.abs(exact)
         ).alias("within_band"),
     )
+
+
+# ---- snapshot drift profiling ----------------------------------------------
+# Current snapshot = odd order keys, reference = even: the per-column
+# drift report a production ingest runs before accepting a partition.
+_DRIFT_ORACLE = """
+WITH cur AS (
+    SELECT count(*) AS n,
+           count(o_totalprice) AS nn_p, count(DISTINCT o_totalprice) AS nd_p,
+           CAST(min(o_totalprice) AS DOUBLE) AS mn_p,
+           CAST(max(o_totalprice) AS DOUBLE) AS mx_p,
+           count(o_custkey) AS nn_s, count(DISTINCT o_custkey) AS nd_s,
+           CAST(min(o_custkey) AS DOUBLE) AS mn_s,
+           CAST(max(o_custkey) AS DOUBLE) AS mx_s
+    FROM orders WHERE o_orderkey % 2 = 1
+), ref AS (
+    SELECT count(*) AS n,
+           count(o_totalprice) AS nn_p, count(DISTINCT o_totalprice) AS nd_p,
+           CAST(min(o_totalprice) AS DOUBLE) AS mn_p,
+           CAST(max(o_totalprice) AS DOUBLE) AS mx_p,
+           count(o_custkey) AS nn_s, count(DISTINCT o_custkey) AS nd_s,
+           CAST(min(o_custkey) AS DOUBLE) AS mn_s,
+           CAST(max(o_custkey) AS DOUBLE) AS mx_s
+    FROM orders WHERE o_orderkey % 2 = 0
+)
+SELECT 'o_totalprice' AS column_name,
+       round((1.0 - cur.nn_p * 1.0 / cur.n) - (1.0 - ref.nn_p * 1.0 / ref.n), 6) AS null_rate_delta,
+       round(cur.nd_p * 1.0 / nullif(ref.nd_p, 0), 6) AS distinct_ratio,
+       round(cur.mn_p - ref.mn_p, 6) AS min_shift,
+       round(cur.mx_p - ref.mx_p, 6) AS max_shift
+FROM cur, ref
+UNION ALL
+SELECT 'o_custkey',
+       round((1.0 - cur.nn_s * 1.0 / cur.n) - (1.0 - ref.nn_s * 1.0 / ref.n), 6),
+       round(cur.nd_s * 1.0 / nullif(ref.nd_s, 0), 6),
+       round(cur.mn_s - ref.mn_s, 6),
+       round(cur.mx_s - ref.mx_s, 6)
+FROM cur, ref
+"""
+
+
+@register("profile_drift_orders", oracle=_DRIFT_ORACLE)
+def profile_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pywrangler_spark.operators.profile import profile_drift
+
+    orders = _t(spark, sf_dir, "orders")
+    cur = orders.filter(F.col("o_orderkey") % 2 == 1)
+    ref = orders.filter(F.col("o_orderkey") % 2 == 0)
+    return cur.transform(
+        profile_drift(ref, ["o_totalprice", "o_custkey"])
+    )
