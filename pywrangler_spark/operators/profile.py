@@ -168,3 +168,45 @@ def profile_drift(
         )
 
     return _transform
+
+
+def correlation_matrix(
+    columns: Union[str, Sequence[str]],
+) -> Callable[[DataFrame], DataFrame]:
+    """Pairwise Pearson correlations for the given numeric columns in
+    ONE aggregation pass (``corr`` is algebraic: Spark keeps a constant
+    per-pair state through the partial/final agg, so the scan count
+    stays 1 regardless of pair count). Output: one row per unordered
+    pair ``(col_a, col_b, corr)`` with ``col_a < col_b``, rounded to
+    6 dp. O(k²) aggregate buffers — fine for profiling-sized k."""
+    cols = list(ensure_iterable(columns))
+    if len(cols) < 2:
+        raise ValueError("correlation_matrix requires >= 2 columns")
+
+    def _transform(df: DataFrame) -> DataFrame:
+        pairs = [
+            (a, b)
+            for i, a in enumerate(cols)
+            for b in cols[i + 1:]
+        ]
+        aggs = [
+            F.round(
+                F.corr(
+                    F.col(a).cast("double"), F.col(b).cast("double")
+                ),
+                6,
+            ).alias(f"_c_{i}")
+            for i, (a, b) in enumerate(pairs)
+        ]
+        wide = df.agg(*aggs)
+        stack_args = ", ".join(
+            f"'{a}', '{b}', _c_{i}" for i, (a, b) in enumerate(pairs)
+        )
+        return wide.select(
+            F.expr(
+                f"stack({len(pairs)}, {stack_args})"
+                " AS (col_a, col_b, corr)"
+            )
+        )
+
+    return _transform

@@ -1629,3 +1629,32 @@ def profile_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cur.transform(
         profile_drift(ref, ["o_totalprice", "o_custkey"])
     )
+
+
+_CORR_ORACLE = """
+SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+       round(corr(CAST(l_quantity AS DOUBLE),
+                  CAST(l_extendedprice AS DOUBLE)), 6) AS corr
+FROM lineitem
+UNION ALL
+SELECT 'l_quantity', 'l_discount',
+       round(corr(CAST(l_quantity AS DOUBLE),
+                  CAST(l_discount AS DOUBLE)), 6)
+FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice', 'l_discount',
+       round(corr(CAST(l_extendedprice AS DOUBLE),
+                  CAST(l_discount AS DOUBLE)), 6)
+FROM lineitem
+"""
+
+
+@register("correlation_lineitem", oracle=_CORR_ORACLE)
+def correlation_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pywrangler_spark.operators.profile import correlation_matrix
+
+    return _t(spark, sf_dir, "lineitem").transform(
+        correlation_matrix(
+            ["l_quantity", "l_extendedprice", "l_discount"]
+        )
+    )
