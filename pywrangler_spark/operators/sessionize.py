@@ -78,3 +78,46 @@ def session_stats(
 
     _transform.__name__ = "session_stats"
     return _transform
+
+
+def session_features(
+    ts_column: str,
+    gap_seconds: float,
+    groupby_columns: Union[str, Sequence[str]],
+    order_tiebreak: Union[str, Sequence[str], None] = None,
+) -> Callable[[DataFrame], DataFrame]:
+    """Row-level session features for ML feature prep: appends
+    ``session_id``, ``event_idx`` (1-based position within the
+    session) and ``secs_into_session`` (event time minus session
+    start).
+
+    All three come from windows over the SAME partition/order spec as
+    the sessionization itself, so Catalyst fuses them into the single
+    sessionize exchange + sort — feature extraction costs no extra
+    shuffle (plan-asserted in tests). ``order_tiebreak`` columns make
+    ``event_idx`` total when timestamps tie.
+    """
+    groups = list(ensure_iterable(groupby_columns))
+    if not groups:
+        raise ValueError("session_features requires groupby_columns")
+    ties = list(ensure_iterable(order_tiebreak)) if order_tiebreak else []
+
+    def _transform(df: DataFrame) -> DataFrame:
+        with_sid = df.transform(
+            sessionize_gap(ts_column, gap_seconds, groups)
+        )
+        order = [F.col(ts_column).asc()] + [F.col(c).asc() for c in ties]
+        ws = Window.partitionBy(*groups, "session_id").orderBy(*order)
+        start = F.first(ts_column).over(
+            ws.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return with_sid.select(
+            "*",
+            F.row_number().over(ws).alias("event_idx"),
+            (
+                epoch_seconds(ts_column) - epoch_seconds(start)
+            ).alias("secs_into_session"),
+        )
+
+    _transform.__name__ = "session_features"
+    return _transform

@@ -283,3 +283,52 @@ def interval_global_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         marker_end="purchase",
         orderby_columns=["ts", "event_id"],
     )
+
+
+_SESSION_FEATURES_ORACLE = """
+WITH bounds AS (
+    SELECT user_id, ts, event_id,
+        CASE WHEN lag(ts) OVER w IS NULL
+                  OR (epoch_us(ts) - epoch_us(lag(ts) OVER w)) / 1000000.0
+                     > 86400.0
+             THEN 1 ELSE 0 END AS boundary
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sids AS (
+    SELECT *, sum(boundary) OVER
+        (PARTITION BY user_id ORDER BY ts
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+    FROM bounds
+)
+SELECT event_id,
+       CAST(session_id AS BIGINT) AS session_id,
+       CAST(row_number() OVER ws AS INT) AS event_idx,
+       CAST((epoch_us(ts) - epoch_us(first_value(ts) OVER ws2))
+            // 1000000 AS BIGINT) AS secs_into_session
+FROM sids
+WINDOW ws AS (PARTITION BY user_id, session_id ORDER BY ts, event_id),
+       ws2 AS (PARTITION BY user_id, session_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("session_features_events", oracle=_SESSION_FEATURES_ORACLE)
+def session_features_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pywrangler_spark.operators.sessionize import session_features
+
+    return (
+        _events(spark, sf_dir)
+        .transform(
+            session_features(
+                "ts", 86400.0, "user_id", order_tiebreak="event_id"
+            )
+        )
+        .select(
+            "event_id",
+            "session_id",
+            "event_idx",
+            F.col("secs_into_session").cast("long").alias(
+                "secs_into_session"
+            ),
+        )
+    )

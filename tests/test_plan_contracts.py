@@ -59,6 +59,13 @@ class TestPlanContracts:
         df = QUERIES["cap_docs_per_source"](spark, SF)
         assert "WindowGroupLimit" in explain_string(df)
 
+    def test_session_features_single_exchange(self, spark):
+        """Feature windows share the sessionize partition spec (subset
+        partitioning satisfies the clustered distribution), so row-level
+        session features cost no second shuffle."""
+        df = QUERIES["session_features_events"](spark, SF)
+        assert count_exchanges(df) == 1
+
     def test_zorder_code_single_exchange(self, spark):
         df = QUERIES["zorder_code_events"](spark, SF)
         assert count_exchanges(df) == 1
