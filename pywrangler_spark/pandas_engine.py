@@ -450,3 +450,77 @@ def pandas_excise_duplicate_spans(
         return out
 
     return _transform
+
+
+def pandas_winsorize(
+    columns,
+    lower: float = 0.05,
+    upper: float = 0.95,
+    group_by=None,
+) -> Any:
+    """Pandas twin of ``operators.clean.winsorize`` — same exact
+    percentile (linear interpolation) cutoffs rounded to 6 dp."""
+    cols = [columns] if isinstance(columns, str) else list(columns)
+    groups = (
+        [group_by] if isinstance(group_by, str) else list(group_by or [])
+    )
+
+    def _transform(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+
+        def _clip(part: pd.DataFrame) -> pd.DataFrame:
+            for c in cols:
+                lo = round(part[c].quantile(lower), 6)
+                hi = round(part[c].quantile(upper), 6)
+                part[c] = part[c].clip(lo, hi)
+            return part
+
+        if groups:
+            return (
+                out.groupby(groups, group_keys=False)[out.columns]
+                .apply(_clip)
+            )
+        return _clip(out)
+
+    return _transform
+
+
+def pandas_impute(
+    columns,
+    strategy: str = "median",
+    group_by=None,
+) -> Any:
+    """Pandas twin of ``operators.clean.impute`` (median/mean, rounded
+    to 6 dp; mode breaks ties on the smaller value)."""
+    cols = [columns] if isinstance(columns, str) else list(columns)
+    groups = (
+        [group_by] if isinstance(group_by, str) else list(group_by or [])
+    )
+
+    def _fill_value(s: pd.Series):
+        if strategy == "median":
+            return round(s.median(), 6)
+        if strategy == "mean":
+            return round(s.mean(), 6)
+        counts = s.dropna().value_counts()
+        if counts.empty:
+            return np.nan
+        top = counts.max()
+        return min(v for v, n in counts.items() if n == top)
+
+    def _transform(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+
+        def _fill(part: pd.DataFrame) -> pd.DataFrame:
+            for c in cols:
+                part[c] = part[c].fillna(_fill_value(part[c]))
+            return part
+
+        if groups:
+            return (
+                out.groupby(groups, group_keys=False)[out.columns]
+                .apply(_fill)
+            )
+        return _fill(out)
+
+    return _transform

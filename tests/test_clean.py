@@ -186,3 +186,52 @@ class TestCleanGoldenWithMutants:
             engine="pyspark",
             spark=spark,
         )
+
+
+class TestPandasTwins:
+    def test_winsorize_cross_engine(self, spark):
+        from pywrangler_spark.pandas_engine import pandas_winsorize
+        from pywrangler_spark.sources import read_parquet
+
+        ev = read_parquet(
+            spark, "/root/testdata/sf0.001/events.parquet"
+        ).select("event_id", "event_type", "value")
+        got_spark = {
+            r["event_id"]: r["value"]
+            for r in ev.transform(
+                winsorize("value", 0.1, 0.9, group_by="event_type")
+            ).collect()
+        }
+        pdf = ev.toPandas()
+        got_pandas = pdf.pipe(
+            pandas_winsorize("value", 0.1, 0.9, group_by="event_type")
+        )
+        twin = dict(zip(got_pandas["event_id"], got_pandas["value"]))
+        assert set(got_spark) == set(twin)
+        for k, v in got_spark.items():
+            t = twin[k]
+            if v is None:
+                assert t != t  # NaN
+            else:
+                assert v == pytest.approx(t, rel=1e-9)
+
+    def test_impute_cross_engine(self, spark):
+        from pywrangler_spark.pandas_engine import pandas_impute
+        from pywrangler_spark.sources import read_parquet
+
+        ev = read_parquet(
+            spark, "/root/testdata/sf0.001/events.parquet"
+        ).select("event_id", "event_type", "value")
+        got_spark = {
+            r["event_id"]: r["value"]
+            for r in ev.transform(
+                impute("value", "median", group_by="event_type")
+            ).collect()
+        }
+        pdf = ev.toPandas()
+        got_pandas = pdf.pipe(
+            pandas_impute("value", "median", group_by="event_type")
+        )
+        twin = dict(zip(got_pandas["event_id"], got_pandas["value"]))
+        for k, v in got_spark.items():
+            assert v == pytest.approx(twin[k], rel=1e-9)
