@@ -527,3 +527,51 @@ def simhash_near_pairs(
     ``df.transform(simhash_near_pairs(...))``); keep the returned object
     to :meth:`SimHashNearPairs.release` the sketch cache."""
     return SimHashNearPairs(id_column, text_column, max_hamming, bits)
+
+
+def dedup_incremental(
+    seen: DataFrame,
+    id_column: str,
+    text_column: str,
+    fingerprint_column: str = "fingerprint",
+) -> Callable[[DataFrame], DataFrame]:
+    """Incremental exact dedup for batch-over-batch ingest: drop rows
+    whose normalized-text fingerprint already exists in the ``seen``
+    store (all previously accepted batches), then exact-dedup within
+    the batch itself (min-id representative). The accepted rows'
+    fingerprints are what the caller appends back to the store —
+    ``duplicate_groups`` gives them directly.
+
+    Plan: fingerprints compute scan-side on the batch; the history
+    check is a LEFT ANTI equi-join on the 32-byte fingerprint — the
+    batch side is the small probe against the big store, so at scale
+    this is the shuffled join whose exchange carries (fingerprint, id)
+    projections of the NEW batch only (the store side partial is pruned
+    to the fingerprint column by pushdown). Within-batch dedup then
+    reuses :func:`dedup_exact`'s aggregation+semi-join shape.
+    """
+
+    def _transform(df: DataFrame) -> DataFrame:
+        with_fp = df.withColumn("_fp", fingerprint(F.col(text_column)))
+        unseen = with_fp.join(
+            seen.select(
+                F.col(fingerprint_column).alias("_seen_fp")
+            ).distinct(),
+            with_fp["_fp"] == F.col("_seen_fp"),
+            "left_anti",
+        )
+        reps = (
+            unseen.groupBy("_fp")
+            .agg(F.min(id_column).alias("_rep"))
+            .withColumnRenamed("_fp", "_fp_r")
+        )
+        return (
+            unseen.join(
+                reps,
+                (unseen["_fp"] == reps["_fp_r"])
+                & (unseen[id_column] == reps["_rep"]),
+                "left_semi",
+            ).drop("_fp")
+        )
+
+    return _transform

@@ -291,3 +291,39 @@ def dedup_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(simhash_near_pairs("doc_id", "text", max_hamming=5))
         .withColumn("hamming", F.col("hamming").cast("long"))
     )
+
+
+# ---- incremental dedup against a historical fingerprint store --------------
+# Seen store = fingerprints of every doc with doc_id % 3 == 0 (the
+# previously-accepted batches); the new batch is everything else.
+_INCR_ORACLE = f"""
+WITH seen AS (
+    SELECT DISTINCT md5({_NORM_SQL}) AS fp
+    FROM documents WHERE doc_id % 3 = 0
+), batch AS (
+    SELECT doc_id, md5({_NORM_SQL}) AS fp
+    FROM documents WHERE doc_id % 3 <> 0
+), unseen AS (
+    SELECT b.* FROM batch b
+    WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.fp = b.fp)
+)
+SELECT doc_id FROM unseen
+QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+"""
+
+
+@register("dedup_incremental_docs", oracle=_INCR_ORACLE)
+def dedup_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pywrangler_spark.operators.dedup import (
+        dedup_incremental,
+        duplicate_groups,
+    )
+
+    docs = _docs(spark, sf_dir)
+    seen = docs.filter(F.col("doc_id") % 3 == 0).transform(
+        duplicate_groups("doc_id", "text")
+    )
+    batch = docs.filter(F.col("doc_id") % 3 != 0)
+    return batch.transform(
+        dedup_incremental(seen, "doc_id", "text")
+    ).select("doc_id")

@@ -580,3 +580,33 @@ class TestDocVectors:
 
         with _pytest.raises(ValueError, match="dim"):
             hashed_doc_vectors(dim=1)
+
+
+class TestIncrementalDedup:
+    def test_history_and_within_batch(self, spark, docs):
+        from pywrangler_spark.operators.dedup import (
+            dedup_incremental,
+            duplicate_groups,
+        )
+
+        seen = docs.filter(F.col("doc_id") < 100).transform(
+            duplicate_groups("doc_id", "text")
+        )
+        # batch = 50 docs already in history (new ids) + 5 genuinely
+        # new docs duplicated twice within the batch
+        replay = docs.filter(F.col("doc_id") < 50).withColumn(
+            "doc_id", F.col("doc_id") + 20_000
+        )
+        fresh = docs.filter(
+            (F.col("doc_id") >= 100) & (F.col("doc_id") < 105)
+        )
+        fresh2 = fresh.withColumn("doc_id", F.col("doc_id") + 30_000)
+        batch = replay.union(fresh).union(fresh2)
+        out = batch.transform(
+            dedup_incremental(seen, "doc_id", "text")
+        )
+        ids = sorted(r["doc_id"] for r in out.collect())
+        # replays of history dropped; one representative (min id) per
+        # within-batch duplicate pair survives
+        assert ids == [100, 101, 102, 103, 104]
+        assert out.columns == batch.columns
