@@ -3,7 +3,10 @@
 from pywrangler_spark.streaming.caps import stream_cap_per_key
 from pywrangler_spark.streaming.cardinality import stream_window_cardinality
 from pywrangler_spark.streaming.decontaminate import stream_contamination_flag
-from pywrangler_spark.streaming.dedup import stream_dedup_exact
+from pywrangler_spark.streaming.dedup import (
+    stream_dedup_exact,
+    stream_dedup_incremental,
+)
 from pywrangler_spark.streaming.interval import stream_identify_intervals
 from pywrangler_spark.streaming.join import stream_interval_join
 from pywrangler_spark.streaming.lmscore import stream_lm_score
@@ -16,6 +19,7 @@ __all__ = [
     "stream_identify_intervals",
     "stream_time_bucket_rollup",
     "stream_dedup_exact",
+    "stream_dedup_incremental",
     "stream_interval_join",
     "stream_window_cardinality",
     "stream_contamination_flag",

@@ -41,3 +41,47 @@ def stream_dedup_exact(
         ).dropDuplicatesWithinWatermark(keys)
 
     return _transform
+
+
+def stream_dedup_incremental(
+    seen,
+    text_column: str,
+    ts_column: str,
+    fingerprint_column: str = "fingerprint",
+    watermark: str = "1 day",
+) -> Callable[[DataFrame], DataFrame]:
+    """Streaming analog of ``operators.dedup.dedup_incremental``: drop
+    stream rows whose normalized-text fingerprint exists in the static
+    ``seen`` store (stream-static LEFT ANTI join — stateless, the store
+    probes as a broadcast/lookup side), then suppress within-stream
+    replays via ``dropDuplicatesWithinWatermark`` on the fingerprint
+    (bounded state, same contract as :func:`stream_dedup_exact`).
+
+    ``seen`` must be a batch DataFrame; refresh it between restarts to
+    fold accepted batches back in (stream-static joins re-read the
+    static side per micro-batch only for file sources — for a fixed
+    snapshot semantics, pass a cached frame).
+    """
+    from pywrangler_spark.functions.text import fingerprint as _fp
+
+    if seen.isStreaming:
+        raise ValueError("seen must be a static (batch) DataFrame")
+
+    from pyspark.sql import functions as F
+
+    def _transform(sdf: DataFrame) -> DataFrame:
+        with_fp = sdf.withColumn("_fp", _fp(F.col(text_column)))
+        unseen = with_fp.join(
+            seen.select(
+                F.col(fingerprint_column).alias("_seen_fp")
+            ).distinct(),
+            with_fp["_fp"] == F.col("_seen_fp"),
+            "left_anti",
+        )
+        return (
+            unseen.withWatermark(ts_column, watermark)
+            .dropDuplicatesWithinWatermark(["_fp"])
+            .drop("_fp")
+        )
+
+    return _transform

@@ -234,3 +234,37 @@ def test_pq_train_raises_clearly_on_empty(spark, empty_docs):
     )
     with pytest.raises(ValueError, match="empty"):
         train_pq_codebooks(empty_emb, "embedding", m=4)
+
+
+def test_round3b_operators_empty(spark, empty_docs, empty_events):
+    from pywrangler_spark.operators.clean import (
+        frequency_encode,
+        impute,
+        winsorize,
+    )
+    from pywrangler_spark.operators.clean import scale as _scale
+    from pywrangler_spark.operators.dedup import (
+        dedup_incremental,
+        duplicate_groups,
+    )
+    from pywrangler_spark.operators.docvec import hashed_doc_vectors
+    from pywrangler_spark.operators.mix import apply_token_budget_mix
+
+    assert empty_events.transform(
+        winsorize("value", group_by="event_type")
+    ).count() == 0
+    assert empty_events.transform(
+        impute("value", "median", group_by="event_type")
+    ).count() == 0
+    assert empty_events.transform(
+        _scale("value", "zscore", group_by="event_type")
+    ).count() == 0
+    assert empty_docs.transform(frequency_encode("source")).count() == 0
+    assert empty_docs.transform(hashed_doc_vectors()).count() == 0
+    assert empty_docs.transform(
+        apply_token_budget_mix({"s1": 100}, "doc_id", "text", "source")
+    ).count() == 0
+    seen = empty_docs.transform(duplicate_groups("doc_id", "text"))
+    assert empty_docs.transform(
+        dedup_incremental(seen, "doc_id", "text")
+    ).count() == 0

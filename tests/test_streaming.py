@@ -634,3 +634,72 @@ class TestIdempotentSink:
 
         with pytest.raises(ValueError, match="append"):
             idempotent_parquet_sink("/tmp/x", mode="overwrite")
+
+
+class TestStreamingIncrementalDedup:
+    def test_matches_batch_incremental(self, spark, tmp_path_factory):
+        import os as _os
+
+        from pywrangler_spark.operators.dedup import (
+            dedup_incremental,
+            duplicate_groups,
+        )
+        from pywrangler_spark.streaming import stream_dedup_incremental
+
+        docs = read_parquet(spark, f"{SF}/documents.parquet").select(
+            "doc_id",
+            "text",
+            F.timestamp_seconds(
+                F.lit(1_700_000_000) + F.col("doc_id")
+            ).alias("ts"),
+        )
+        seen = docs.filter(F.col("doc_id") < 250).transform(
+            duplicate_groups("doc_id", "text")
+        )
+        batch_side = docs.filter(F.col("doc_id") >= 250)
+        expected = sorted(
+            r["doc_id"]
+            for r in batch_side.transform(
+                dedup_incremental(seen, "doc_id", "text")
+            ).collect()
+        )
+
+        base = str(tmp_path_factory.mktemp("incr_stream"))
+        files_dir = _os.path.join(base, "files")
+        _os.makedirs(files_dir)
+        # two doc_id-ordered files so first-arrival == min id
+        for i, (lo, hi) in enumerate(((250, 380), (380, 100000))):
+            batch_side.filter(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+            ).coalesce(1).write.parquet(_os.path.join(base, f"b{i}"))
+            for name in sorted(
+                _os.listdir(_os.path.join(base, f"b{i}"))
+            ):
+                if name.endswith(".parquet"):
+                    dest = _os.path.join(files_dir, f"{i:03d}.parquet")
+                    import shutil as _sh
+
+                    _sh.copy(
+                        _os.path.join(base, f"b{i}", name), dest
+                    )
+                    _os.utime(dest, (1_700_000_000 + i * 60,) * 2)
+
+        streamed = _run_stream(
+            spark,
+            stream_dedup_incremental(seen, "text", "ts"),
+            files_dir,
+            batch_side.schema,
+            "incr_dedup_sink",
+        )
+        got = sorted(r["doc_id"] for r in streamed.collect())
+        assert got == expected
+
+    def test_rejects_streaming_store(self, spark, docs_stream_dir):
+        from pywrangler_spark.streaming import stream_dedup_incremental
+
+        sdf = (
+            spark.readStream.schema("fingerprint string")
+            .parquet(docs_stream_dir)
+        )
+        with pytest.raises(ValueError, match="static"):
+            stream_dedup_incremental(sdf, "text", "ts")
