@@ -647,7 +647,7 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DOCVEC_NEARDUP_ORACLE = f"""
 WITH toks AS (
     SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok
-    FROM documents
+    FROM documents WHERE doc_id < 2000
 ), t2 AS (SELECT * FROM toks WHERE tok <> ''),
 h AS (
     SELECT doc_id, ('0x' || substr(md5(tok), 1, 14))::BIGINT AS h FROM t2
@@ -682,8 +682,13 @@ def docvec_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pywrangler_spark.operators.docvec import hashed_doc_vectors
     from pywrangler_spark.operators.similarity import cosine_neardup_pairs
 
-    vecs = _docs(spark, sf_dir).transform(
-        hashed_doc_vectors("doc_id", "text", dim=64)
+    # quadratic exact tier: capped at 2000 docs like the other
+    # pairwise verification demos (_JACCARD_CAP); the scale path for
+    # doc vectors is the ANN ladder (LSH/IVF/PQ) over the same vectors
+    vecs = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") < 2000)
+        .transform(hashed_doc_vectors("doc_id", "text", dim=64))
     )
     return (
         vecs.transform(
