@@ -59,7 +59,7 @@ _PRIORITY = [
     "semantic_dedup_embeddings", "ann_topk_ivfpq",
     "docvec_neardup_pairs", "winsorize_event_values",
     "impute_event_values", "scale_event_values",
-    "frequency_encode_sources", "profile_drift_orders", "correlation_lineitem", "session_features_events", "dedup_incremental_docs",
+    "frequency_encode_sources", "profile_drift_orders", "correlation_lineitem", "session_features_events", "dedup_incremental_docs", "docvec_ann_lsh",
     # least-recently-verified: round-1-green families with no round-2 row
     "interval_first_first", "interval_first_last", "interval_last_last",
     "interval_identical_markers", "interval_raw_ids", "interval_valid_ids",

