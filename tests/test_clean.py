@@ -235,3 +235,30 @@ class TestPandasTwins:
         twin = dict(zip(got_pandas["event_id"], got_pandas["value"]))
         for k, v in got_spark.items():
             assert v == pytest.approx(twin[k], rel=1e-9)
+
+
+class TestScaleGoldenWithMutants:
+    def test_minmax_golden_case_kills_mutants(self, spark):
+        from pywrangler_spark.testing.datatestcase import DataTestCase
+
+        class MinMaxCase(DataTestCase):
+            input = {
+                "grp:s": ("a", "a", "a"),
+                "v:f": (2.0, 4.0, 6.0),
+            }
+            output = {
+                "grp:s": ("a", "a", "a"),
+                "v:f": (0.0, 0.5, 1.0),
+            }
+            mutants = [
+                {("v", 2): 10.0},  # range stretches → midpoint moves
+                {("v", 0): 0.0},   # min moves
+            ]
+
+        MinMaxCase().test(
+            lambda df: df.transform(
+                scale_op("v", "minmax", group_by="grp")
+            ),
+            engine="pyspark",
+            spark=spark,
+        )

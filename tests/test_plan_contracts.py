@@ -70,6 +70,20 @@ class TestPlanContracts:
         df = QUERIES["zorder_code_events"](spark, SF)
         assert count_exchanges(df) == 1
 
+    def test_docvec_single_exchange(self, spark):
+        """Hashed doc vectors: explode + one conditional-sum agg —
+        exactly one exchange, like the SimHash sketch."""
+        from pywrangler_spark.operators.docvec import hashed_doc_vectors
+        from pywrangler_spark.sources import read_parquet
+
+        # non-file source: the single-file _scale_out repartition (a
+        # deliberate extra exchange on tiny-file corpora) doesn't apply,
+        # leaving exactly the aggregation exchange
+        rows = read_parquet(spark, f"{SF}/documents.parquet").collect()
+        docs = spark.createDataFrame(rows)
+        df = docs.transform(hashed_doc_vectors(dim=16))
+        assert count_exchanges(df) == 1
+
     def test_decontaminate_broadcasts_eval_grams(self, spark):
         df = QUERIES["decontaminate_docs"](spark, SF)
         tree = explain_string(df).split("\n\n")[0]
