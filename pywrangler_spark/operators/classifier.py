@@ -25,7 +25,7 @@ Scale shape:
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F

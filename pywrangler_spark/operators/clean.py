@@ -13,7 +13,7 @@ agree (the same discipline as the percentile quality gate).
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence, Union
+from typing import Callable, Sequence, Union
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
