@@ -21,6 +21,47 @@ from pyspark.sql import functions as F
 from pywrangler_spark.util import ensure_iterable
 
 
+def _nullsafe_left_broadcast(
+    df: DataFrame, stats: DataFrame, groups: Sequence[str]
+) -> DataFrame:
+    """Left-join per-group stats with null-safe key equality so rows
+    whose group key is NULL receive the NULL group's statistic — a
+    plain name-list equi-join silently passes them through
+    untransformed. Stats keys are renamed ``_g_<col>`` so the original
+    columns stay unambiguous; callers' final ``select(df.columns)``
+    drops them."""
+    renamed = stats
+    for g in groups:
+        renamed = renamed.withColumnRenamed(g, f"_g_{g}")
+    cond = None
+    for g in groups:
+        c = df[g].eqNullSafe(renamed[f"_g_{g}"])
+        cond = c if cond is None else cond & c
+    return df.join(F.broadcast(renamed), cond, "left")
+
+
+def _nullsafe_outer_merge(
+    a: DataFrame, b: DataFrame, groups: Sequence[str]
+) -> DataFrame:
+    """Full-outer merge of two per-group stats frames on null-safe key
+    equality, coalescing the key columns — so the NULL group carries
+    one combined row instead of two disjoint ones."""
+    rb = b
+    for g in groups:
+        rb = rb.withColumnRenamed(g, f"_r_{g}")
+    cond = None
+    for g in groups:
+        c = a[g].eqNullSafe(rb[f"_r_{g}"])
+        cond = c if cond is None else cond & c
+    joined = a.join(rb, cond, "full")
+    sel = (
+        [F.coalesce(a[g], rb[f"_r_{g}"]).alias(g) for g in groups]
+        + [a[c] for c in a.columns if c not in groups]
+        + [rb[c] for c in rb.columns if not c.startswith("_r_")]
+    )
+    return joined.select(*sel)
+
+
 def winsorize(
     columns: Union[str, Sequence[str]],
     lower: float = 0.05,
@@ -52,7 +93,7 @@ def winsorize(
             )
         if groups:
             stats = df.groupBy(*groups).agg(*aggs)
-            joined = df.join(F.broadcast(stats), groups, "left")
+            joined = _nullsafe_left_broadcast(df, stats, groups)
         else:
             stats = df.agg(*aggs)
             joined = df.crossJoin(F.broadcast(stats))
@@ -117,7 +158,7 @@ def impute(
                     best
                     if fills is None
                     else (
-                        fills.join(best, groups, "outer")
+                        _nullsafe_outer_merge(fills, best, groups)
                         if groups
                         else fills.crossJoin(best)
                     )
@@ -128,7 +169,7 @@ def impute(
                 df.groupBy(*groups).agg(*aggs) if groups else df.agg(*aggs)
             )
         joined = (
-            df.join(F.broadcast(fills), groups, "left")
+            _nullsafe_left_broadcast(df, fills, groups)
             if groups
             else df.crossJoin(F.broadcast(fills))
         )
@@ -185,7 +226,7 @@ def scale(
                 )
         if groups:
             stats = df.groupBy(*groups).agg(*aggs)
-            joined = df.join(F.broadcast(stats), groups, "left")
+            joined = _nullsafe_left_broadcast(df, stats, groups)
         else:
             joined = df.crossJoin(F.broadcast(df.agg(*aggs)))
         out_cols = []
@@ -227,18 +268,25 @@ def frequency_encode(
 
     def _transform(df: DataFrame) -> DataFrame:
         out = df
-        total = df.count() if relative else None
+        # total rides the plan as a broadcast one-row aggregate folded
+        # into each (tiny) frequency table — no driver-side count()
+        # action at transform time (plan construction stays declarative)
+        total_df = (
+            df.agg(F.count(F.lit(1)).alias("_total")) if relative else None
+        )
         for c in cols:
             freq = (
                 df.filter(F.col(c).isNotNull())
                 .groupBy(F.col(c).alias(f"_k_{c}"))
                 .agg(F.count(F.lit(1)).alias("_n"))
             )
-            enc = (
-                F.round(F.col("_n") / F.lit(float(total)), 6)
-                if relative
-                else F.col("_n").cast("long")
-            )
+            if relative:
+                freq = freq.crossJoin(F.broadcast(total_df))
+                enc = F.round(
+                    F.col("_n") / F.col("_total").cast("double"), 6
+                )
+            else:
+                enc = F.col("_n").cast("long")
             freq = freq.select(f"_k_{c}", enc.alias(c + suffix))
             out = out.join(
                 F.broadcast(freq),

@@ -45,7 +45,13 @@ def temperature_budgets(
         raise ValueError(f"alpha must be > 0, got {alpha}")
     rows = (
         df.groupBy(source_column)
-        .agg(F.sum(token_count(F.col(text_column))).alias("n"))
+        .agg(
+            # a source whose documents are all NULL text sums to NULL;
+            # coalesce so it budgets to 0 instead of crashing the dict
+            F.coalesce(
+                F.sum(token_count(F.col(text_column))), F.lit(0)
+            ).alias("n")
+        )
         .collect()
     )
     total = sum(r["n"] for r in rows) or 1

@@ -44,6 +44,7 @@ import pandas as pd
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, StructField, StructType
 
 from pywrangler_spark.functions.vectors import (
     dot,
@@ -633,6 +634,7 @@ def topk_cosine_pq(
     seed: int = 42,
     query_filter: Optional[Column] = None,
     codebooks: Optional[np.ndarray] = None,
+    allow_full_collect: bool = False,
 ) -> Callable[[DataFrame], DataFrame]:
     """Approximate top-k cosine neighbours via product quantization with
     asymmetric distance computation (ADC), the FAISS-PQ scale path.
@@ -654,7 +656,21 @@ def topk_cosine_pq(
     exact tier is gated in the test suite and by the ``ann_topk_pq``
     query. Output schema matches :func:`topk_cosine` (score column
     ``cosine_pq``).
+
+    ``query_filter`` is required: the query set is collected to the
+    driver to build the ADC lookup tables, and with no filter that
+    collect would pull the *entire corpus* — a scale-killer at any real
+    corpus size. ``allow_full_collect=True`` opts in explicitly for
+    small interactive frames.
     """
+    if query_filter is None and not allow_full_collect:
+        raise ValueError(
+            "topk_cosine_pq requires query_filter= — the query set is "
+            "collected driver-side to build ADC lookup tables, and an "
+            "unfiltered collect would pull the whole corpus. Pass "
+            "allow_full_collect=True to explicitly opt in for small "
+            "interactive frames."
+        )
 
     def _transform(df: DataFrame) -> DataFrame:
         books = (
@@ -671,7 +687,7 @@ def topk_cosine_pq(
             F.col(id_column).alias("_qid"),
             to_double_array(F.col(vector_column)).alias("_qv"),
         ).collect()
-        qids = np.array([r["_qid"] for r in qrows])
+        qids = [r["_qid"] for r in qrows]
         qvecs = np.stack(
             [np.asarray(r["_qv"], dtype="float64") for r in qrows]
         )
@@ -705,9 +721,16 @@ def topk_cosine_pq(
         scored = corpus.select(
             "_id", F.posexplode(adc_scores(F.col("_codes")))
         ).toDF("_id", "_qidx", "cosine_pq")
+        # query_id keeps the input id column's type (no int coercion:
+        # string/decimal ids must survive the round-trip)
         qmap = df.sparkSession.createDataFrame(
-            [(int(i), int(q)) for i, q in enumerate(qids)],
-            "_qidx int, query_id long",
+            [(int(i), q) for i, q in enumerate(qids)],
+            StructType(
+                [
+                    StructField("_qidx", IntegerType()),
+                    StructField("query_id", df.schema[id_column].dataType),
+                ]
+            ),
         )
         out = (
             scored.join(F.broadcast(qmap), "_qidx")
@@ -741,6 +764,7 @@ def topk_cosine_ivfpq(
     query_filter: Optional[Column] = None,
     centroids: Optional[np.ndarray] = None,
     codebooks: Optional[np.ndarray] = None,
+    allow_full_collect: bool = False,
 ) -> Callable[[DataFrame], DataFrame]:
     """IVF-PQ: k-means cells prune candidates (compute), PQ codes +
     asymmetric distance score them (memory) — the canonical FAISS
@@ -759,7 +783,19 @@ def topk_cosine_ivfpq(
     many and tight. Recall stacks the IVF probe recall with PQ ranking
     precision — gated against the exact tier in tests/queries. Output
     schema matches :func:`topk_cosine` (score column ``cosine_pq``).
+
+    ``query_filter`` is required (see :func:`topk_cosine_pq` — the
+    query set is collected driver-side); ``allow_full_collect=True``
+    opts in explicitly for small interactive frames.
     """
+    if query_filter is None and not allow_full_collect:
+        raise ValueError(
+            "topk_cosine_ivfpq requires query_filter= — the query set "
+            "is collected driver-side to build ADC lookup tables, and "
+            "an unfiltered collect would pull the whole corpus. Pass "
+            "allow_full_collect=True to explicitly opt in for small "
+            "interactive frames."
+        )
 
     def _transform(df: DataFrame) -> DataFrame:
         cents = (
@@ -810,13 +846,20 @@ def topk_cosine_ivfpq(
         sc = df.sparkSession.sparkContext
         bc_lut = sc.broadcast(lut)
 
+        # query_id keeps the input id column's type (no int coercion)
         probes = df.sparkSession.createDataFrame(
             [
-                (int(i), int(q), int(c))
+                (int(i), q, int(c))
                 for i, q in enumerate(qids)
                 for c in qcells[i]
             ],
-            "_qidx int, query_id long, _cell int",
+            StructType(
+                [
+                    StructField("_qidx", IntegerType()),
+                    StructField("query_id", df.schema[id_column].dataType),
+                    StructField("_cell", IntegerType()),
+                ]
+            ),
         )
         cand = corpus.join(F.broadcast(probes), "_cell").filter(
             F.col("_id") != F.col("query_id")

@@ -170,7 +170,7 @@ def _pandas_fill(columns, groupby_columns, orderby_columns, forward):
 
     def _transform(df: pd.DataFrame) -> pd.DataFrame:
         ordered = df.sort_values(order, kind="stable")
-        grouped = ordered.groupby(groups)[cols] if groups else ordered[cols]
+        grouped = ordered.groupby(groups, dropna=False)[cols] if groups else ordered[cols]
         filled = grouped.ffill() if forward else grouped.bfill()
         out = df.copy()
         out[cols] = filled.reindex(df.index)
@@ -200,11 +200,11 @@ def pandas_sessionize_gap(
         # datetime64[us] (the parquet fixture shape) or [ns] — a raw
         # astype("int64")/1e9 silently mis-scales for [us]
         secs = (ts - pd.Timestamp(0)).dt.total_seconds()
-        prev = secs.groupby([ordered[g] for g in groups]).shift(1)
+        prev = secs.groupby([ordered[g] for g in groups], dropna=False).shift(1)
         boundary = (prev.isna() | ((secs - prev) > float(gap_seconds))).astype(
             "int64"
         )
-        sid = boundary.groupby([ordered[g] for g in groups]).cumsum()
+        sid = boundary.groupby([ordered[g] for g in groups], dropna=False).cumsum()
         out = df.copy()
         out[target_column_name] = sid.reindex(df.index)
         return out
@@ -477,7 +477,7 @@ def pandas_winsorize(
 
         if groups:
             return (
-                out.groupby(groups, group_keys=False)[out.columns]
+                out.groupby(groups, group_keys=False, dropna=False)[out.columns]
                 .apply(_clip)
             )
         return _clip(out)
@@ -518,7 +518,7 @@ def pandas_impute(
 
         if groups:
             return (
-                out.groupby(groups, group_keys=False)[out.columns]
+                out.groupby(groups, group_keys=False, dropna=False)[out.columns]
                 .apply(_fill)
             )
         return _fill(out)

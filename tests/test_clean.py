@@ -237,6 +237,93 @@ class TestPandasTwins:
             assert v == pytest.approx(twin[k], rel=1e-9)
 
 
+class TestNullGroupKeys:
+    """Rows whose group key is NULL must get the NULL group's own
+    statistic (null-safe stats join), and both engines must agree —
+    the round-3 advisory found name-list joins silently passing NULL
+    groups through untransformed."""
+
+    @pytest.fixture(scope="class")
+    def nullgrp(self, spark):
+        return spark.createDataFrame(
+            [("a", 1.0), ("a", 3.0), (None, 10.0), (None, 30.0),
+             (None, None)],
+            "grp string, v double",
+        )
+
+    def test_impute_null_group(self, spark, nullgrp):
+        out = nullgrp.transform(impute("v", "median", group_by="grp"))
+        filled = sorted(
+            r["v"] for r in out.filter(F.col("grp").isNull()).collect()
+        )
+        assert filled == [10.0, 20.0, 30.0]  # median(10,30)=20 fills
+
+    def test_winsorize_null_group(self, spark, nullgrp):
+        out = nullgrp.transform(
+            winsorize("v", 0.0, 0.5, group_by="grp")
+        )
+        vals = sorted(
+            r["v"]
+            for r in out.filter(
+                F.col("grp").isNull() & F.col("v").isNotNull()
+            ).collect()
+        )
+        assert vals == [10.0, 20.0]  # p50 of (10,30)=20 clips the 30
+
+    def test_scale_null_group(self, spark, nullgrp):
+        out = nullgrp.transform(
+            scale_op("v", "minmax", group_by="grp")
+        )
+        vals = sorted(
+            r["v"]
+            for r in out.filter(
+                F.col("grp").isNull() & F.col("v").isNotNull()
+            ).collect()
+        )
+        assert vals == [0.0, 1.0]
+
+    def test_impute_mode_multicol_null_group(self, spark):
+        df = spark.createDataFrame(
+            [(None, 5.0, None), (None, 5.0, 2.0), (None, None, 2.0),
+             ("a", 1.0, 9.0)],
+            "grp string, x double, y double",
+        )
+        out = df.transform(
+            impute(["x", "y"], "mode", group_by="grp")
+        ).filter(F.col("grp").isNull())
+        # the NULL group must stay ONE group across the per-column
+        # fills merge: x fills with 5.0, y with 2.0, and no row fanout
+        assert out.count() == 3
+        rows = out.collect()
+        assert all(r["x"] == 5.0 for r in rows)
+        assert all(r["y"] == 2.0 for r in rows)
+
+    def test_cross_engine_null_group(self, spark, nullgrp):
+        from pywrangler_spark.pandas_engine import (
+            pandas_impute,
+            pandas_winsorize,
+        )
+
+        pdf = nullgrp.toPandas()
+        sp = sorted(
+            (r["v"] if r["v"] is not None else None)
+            for r in nullgrp.transform(
+                impute("v", "median", group_by="grp")
+            ).collect()
+        )
+        tw = sorted(
+            pdf.pipe(pandas_impute("v", "median", group_by="grp"))["v"]
+        )
+        assert sp == pytest.approx(tw)
+        spw = nullgrp.transform(
+            winsorize("v", 0.0, 0.5, group_by="grp")
+        ).collect()
+        tww = pdf.pipe(pandas_winsorize("v", 0.0, 0.5, group_by="grp"))
+        sp_vals = sorted(r["v"] for r in spw if r["v"] is not None)
+        tw_vals = sorted(x for x in tww["v"] if x == x)
+        assert sp_vals == pytest.approx(tw_vals)
+
+
 class TestScaleGoldenWithMutants:
     def test_minmax_golden_case_kills_mutants(self, spark):
         from pywrangler_spark.testing.datatestcase import DataTestCase

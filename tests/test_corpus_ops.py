@@ -334,6 +334,20 @@ class TestMixExecution:
             r["doc_id"] for r in again.collect()
         )
 
+    def test_all_null_text_source_budgets_zero(self, spark):
+        """A source whose documents all have NULL text must budget to 0
+        (SUM over NULLs is NULL — coalesced), not raise TypeError."""
+        from pywrangler_spark.operators.mix import temperature_budgets
+
+        df = spark.createDataFrame(
+            [(1, "a b c d", "s1"), (2, "e f g h", "s1"),
+             (3, None, "s2"), (4, None, "s2")],
+            "doc_id long, text string, source string",
+        )
+        budgets = temperature_budgets(df, total_tokens=100, alpha=0.5)
+        assert budgets["s2"] == 0
+        assert budgets["s1"] == 100
+
     def test_missing_source_dropped_and_validation(self, spark):
         import pytest as _pytest
 

@@ -232,6 +232,53 @@ class TestSimilarity:
         a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
         assert len(e & a) / len(e) >= 0.4
 
+    def test_pq_requires_query_filter(self):
+        """With no query_filter the default would collect the entire
+        corpus to the driver — both PQ variants must refuse at factory
+        time (same contract as topk_cosine_lsh's dim requirement)."""
+        from pywrangler_spark.operators.similarity import (
+            topk_cosine_ivfpq,
+            topk_cosine_pq,
+        )
+
+        with pytest.raises(ValueError, match="query_filter"):
+            topk_cosine_pq("vec_id", "embedding")
+        with pytest.raises(ValueError, match="query_filter"):
+            topk_cosine_ivfpq("vec_id", "embedding")
+
+    def test_pq_string_ids(self, spark):
+        """Non-integer id columns must survive the query-id round-trip
+        (qmap/probes derive query_id's type from the input schema)."""
+        import random
+
+        from pywrangler_spark.operators.similarity import (
+            topk_cosine_ivfpq,
+            topk_cosine_pq,
+        )
+
+        rng = random.Random(7)
+        rows = [
+            (f"doc-{i}", [rng.gauss(0, 1) for _ in range(16)])
+            for i in range(60)
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id string, embedding array<double>"
+        )
+        qf = F.col("vec_id") == "doc-0"
+        out = topk_cosine_pq(
+            "vec_id", "embedding", k=5, m=4, codebook_k=8,
+            query_filter=qf,
+        )(df)
+        got = out.collect()
+        assert len(got) == 5
+        assert all(r.query_id == "doc-0" for r in got)
+        out2 = topk_cosine_ivfpq(
+            "vec_id", "embedding", k=5, n_centroids=4, n_probe=4,
+            m=4, codebook_k=8, query_filter=qf,
+        )(df)
+        got2 = out2.collect()
+        assert got2 and all(r.query_id == "doc-0" for r in got2)
+
     def test_pq_fit_validation(self, spark, embeddings):
         from pywrangler_spark.operators.similarity import (
             train_pq_codebooks,

@@ -1,5 +1,7 @@
 """Tests for the Pipeline layer, plan introspection, and profilers."""
 
+import time
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -168,10 +170,19 @@ class TestProfilers:
         assert not events.is_cached  # unpersisted afterwards
 
     def test_memory_profiler(self):
+        # The allocation must stay live across several sampler intervals
+        # (pages touched so the RSS actually grows), otherwise a loaded
+        # host can free it before the 5 ms sampler ever observes it.
+        interval = 0.005
+
         def allocate():
             block = bytearray(64 * 1024 * 1024)
+            step = 4096
+            for i in range(0, len(block), step):  # commit every page
+                block[i] = 1
+            time.sleep(interval * 10)  # hold across >=10 sampler ticks
             return len(block)
 
-        prof = MemoryProfiler(allocate, runs=2, interval=0.005).profile()
+        prof = MemoryProfiler(allocate, runs=2, interval=interval).profile()
         rep = prof.report()
         assert rep["max_increase_bytes"] > 32 * 1024 * 1024
