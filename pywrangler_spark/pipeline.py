@@ -119,12 +119,21 @@ class PipelineCacher:
             self._enabled.discard(self._pipeline._locate(s))
 
     def clear(self) -> None:
-        """Unpersist every cached intermediate of the last transform."""
+        """Unpersist every cached intermediate of the last transform,
+        and release stage-owned caches: operators that persist internal
+        state across a lazy transform (minhash/simhash signature
+        caches) expose ``release()``, and the pipeline frees them here
+        — the same consume-then-clear lifecycle as its own stage
+        caches."""
         for idx in self._enabled:
             dfs = self._pipeline._dfs
             if dfs and idx < len(dfs) and dfs[idx] is not None:
                 dfs[idx].unpersist(blocking=True)
         self._enabled.clear()
+        for stage in self._pipeline.stages:
+            release = getattr(stage.obj, "release", None)
+            if callable(release):
+                release()
 
     def is_enabled(self, idx: int) -> bool:
         return idx in self._enabled

@@ -45,30 +45,10 @@ from pywrangler_spark.queries import text as _text  # noqa: E402,F401
 # representative per verified family, then the redundant TPC-H variants
 # (mutually similar star-join/agg shapes) last.
 _PRIORITY = [
-    # never driver-verified: positions 51-57 of the round-2 order sat just
-    # past the driver's 50-row window (judge-verified locally only) —
-    # rotate them to the very front so the driver owns the signal
-    "approx_distinct_parts", "histogram_extendedprice",
-    "multimodal_features", "nullsafe_join_segments",
-    "profile_lineitem_columns", "q11_important_parts",
-    "q20_recent_part_suppliers",
-    # new in round 3 — need a driver row
-    "dedup_span_excise", "dedup_simhash_near", "ann_topk_pq",
-    "zorder_code_events", "classifier_quality_gate", "bpe_token_stats",
-    "lm_bigram_score_docs", "mix_docs_to_budget",
-    "semantic_dedup_embeddings", "ann_topk_ivfpq",
-    "docvec_neardup_pairs", "winsorize_event_values",
-    "impute_event_values", "scale_event_values",
-    "frequency_encode_sources", "profile_drift_orders", "correlation_lineitem", "session_features_events", "dedup_incremental_docs", "docvec_ann_lsh",
-    # least-recently-verified: round-1-green families with no round-2 row
-    "interval_first_first", "interval_first_last", "interval_last_last",
-    "interval_identical_markers", "interval_raw_ids", "interval_valid_ids",
-    "interval_last_first", "interval_global_timeline",
-    "dedup_exact_groups", "dedup_exact_rows", "dedup_ngram_jaccard",
-    "dedup_simhash", "dedup_clusters_jaccard", "salted_priority_revenue",
-    "q1_pricing_summary", "q2_min_cost_supplier", "q3_shipping_priority",
-    "q4_order_priority", "q5_local_supplier_volume", "q6_forecast_revenue",
-    "q7_nation_volume", "q8_market_share", "q9_product_profit",
+    # new in round 4 — need a first driver row
+    # (names are appended here as the queries land)
+    # stalest: last driver-green in round 1 (CORRECTNESS_r01), two
+    # rounds of code churn ago — the driver must re-own the signal
     "q10_returned_items", "q12_late_shipments", "q13_order_distribution",
     "q14_promo_revenue", "q15_top_supplier", "q16_supplier_diversity",
     "q17_small_quantity_revenue", "q18_large_orders",
@@ -77,12 +57,26 @@ _PRIORITY = [
     "cube_quantities", "pivot_status_revenue", "groupingsets_order_revenue",
     "quantiles_prices", "setops_building_big_spenders",
     "argmax_order_per_priority", "unpivot_lineitem_measures",
-    "topk_expensive_orders", "multimodal_blob_stats",
-    # round-2-green (driver rows exist) — representatives after the above
-    "decontaminate_docs", "shard_docs", "heavy_hitter_terms",
-    "corpus_clean_pipeline", "lm_score_docs", "dedup_span_mask",
-    "dedup_minhash_lsh", "sessionize_gap_1d",
-    # everything else keeps its module order after the prioritized block
+    "topk_expensive_orders", "top3_orders_per_customer",
+    "multimodal_blob_stats",
+    # round-2 rows (CORRECTNESS_r02), complex multi-exchange shapes
+    # first — fill the remainder of the driver's 50-query window
+    "dedup_minhash_lsh", "dedup_span_mask", "decontaminate_docs",
+    "corpus_clean_pipeline", "lm_score_docs", "user_value_trend",
+    "asof_click_attribution", "rangejoin_click_windows",
+    "scd2_user_history", "cdc_upsert_events", "twa_user_value",
+    "rolling_7d_user_value", "ffill_user_values", "window_rank_suite",
+    "sessionize_gap_1d", "resample_hourly_locf", "ohlc_hourly_by_type",
+    "hopping_hourly_30m", "funnel_view_click_purchase",
+    "cohort_weekly_retention", "journey_prefix_counts",
+    "zscore_anomaly_events", "ann_topk_bruteforce", "ann_topk_lsh",
+    "ann_topk_ivf", "ann_topk_int8", "bm25_search_docs",
+    "embedding_neardup_pairs", "embedding_label_centroids",
+    "stratified_sample_docs", "hash_split_docs", "cap_docs_per_source",
+    "quality_gate_docs", "vocab_top_terms", "repetition_quality_docs",
+    "lang_id", "text_stats", "chunk_docs_by_tokens",
+    # round-3-verified names follow in module order — freshest rows,
+    # so they sit past the window by design
 ]
 
 

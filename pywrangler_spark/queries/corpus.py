@@ -401,10 +401,20 @@ def classifier_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     lm = docs.transform(fit_unigram_model("text", vocab_size=20))
     scored = docs.transform(unigram_logprob_score(lm, oov_p=1e-9))
-    med = scored.agg(F.expr("percentile(lm_score, 0.5D)")).first()[0]
-    labeled = scored.withColumn(
-        "qlabel",
-        F.when(F.col("lm_score") <= med, "keep").otherwise("drop"),
+    # the median cutoff rides the plan as a broadcast one-row aggregate
+    # (winsorize's pattern) — no driver action during query build
+    med_df = scored.agg(
+        F.expr("percentile(lm_score, 0.5D)").alias("_med")
+    )
+    labeled = (
+        scored.crossJoin(F.broadcast(med_df))
+        .withColumn(
+            "qlabel",
+            F.when(
+                F.col("lm_score") <= F.col("_med"), "keep"
+            ).otherwise("drop"),
+        )
+        .drop("_med")
     )
     train = labeled.filter(F.col("doc_id") % 2 == 0)
     test = labeled.filter(F.col("doc_id") % 2 == 1)

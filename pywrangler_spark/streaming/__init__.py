@@ -2,6 +2,10 @@
 
 from pywrangler_spark.streaming.caps import stream_cap_per_key
 from pywrangler_spark.streaming.cardinality import stream_window_cardinality
+from pywrangler_spark.streaming.classify import (
+    stream_classify_gate,
+    stream_nearest_centroid,
+)
 from pywrangler_spark.streaming.decontaminate import stream_contamination_flag
 from pywrangler_spark.streaming.dedup import (
     stream_dedup_exact,
@@ -24,6 +28,8 @@ __all__ = [
     "stream_window_cardinality",
     "stream_contamination_flag",
     "stream_lm_score",
+    "stream_classify_gate",
+    "stream_nearest_centroid",
     "stream_cap_per_key",
     "idempotent_parquet_sink",
 ]

@@ -16,15 +16,18 @@ standard recipe is ``foreachBatch`` + an idempotent writer keyed by
 - readers load ``spark.read.parquet(path)`` and see ``batch_id`` as an
   ordinary partition column (pruning works).
 
-State lives entirely in the filesystem layout — no side database. The
-rename-commit assumes a filesystem with atomic directory rename (local,
-HDFS); on object stores, point the sink at a committer-backed path.
+State lives entirely in the filesystem layout — no side database. All
+filesystem operations (exists / delete / rename-commit) go through the
+Hadoop FileSystem resolved from the sink path itself, so the commit
+protocol works on whatever filesystem Spark is writing to (local,
+HDFS, cluster mode) — not just paths visible to the driver's local
+``os`` module. The rename-commit is atomic on local and HDFS; object
+stores emulate rename with copy+delete, so point the sink at a
+committer-backed path there.
 """
 
 from __future__ import annotations
 
-import os
-import shutil
 from typing import Callable, Optional
 
 from pyspark.sql import DataFrame
@@ -48,14 +51,27 @@ def idempotent_parquet_sink(
         )
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
-        final = os.path.join(path, f"batch_id={batch_id}")
-        if os.path.isdir(final):  # replayed batch — already committed
+        spark = batch_df.sparkSession
+        # resolve the filesystem FROM the sink path: on HDFS/cluster
+        # deployments the driver's local filesystem is not where the
+        # parquet lands, so driver-local os.path/os.replace would
+        # break both the replay skip and the commit
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        hpath = jvm.org.apache.hadoop.fs.Path
+        final = hpath(path, f"batch_id={batch_id}")
+        fs = final.getFileSystem(hconf)
+        if fs.exists(final):  # replayed batch — already committed
             return
-        scratch = os.path.join(path, f"_tmp_batch_id={batch_id}")
-        if os.path.isdir(scratch):  # crashed previous attempt
-            shutil.rmtree(scratch)
+        scratch = hpath(path, f"_tmp_batch_id={batch_id}")
+        if fs.exists(scratch):  # crashed previous attempt
+            fs.delete(scratch, True)
         out = batch_df if coalesce is None else batch_df.coalesce(coalesce)
-        out.write.mode("overwrite").parquet(scratch)
-        os.replace(scratch, final)  # atomic commit
+        out.write.mode("overwrite").parquet(scratch.toString())
+        if not fs.rename(scratch, final):  # atomic commit
+            raise IOError(
+                f"commit rename failed: {scratch} -> {final} "
+                "(destination appeared concurrently or parent missing)"
+            )
 
     return _write

@@ -145,6 +145,28 @@ class TestPlanInspection:
         assert codegen_stage_count(events.select("event_id")) >= 1
 
 
+class TestStageCacheLifecycle:
+    def test_clear_releases_dedup_signature_caches(self, spark):
+        """A pipeline containing a minhash stage must leave zero
+        persisted RDDs behind after cacher.clear() — the stage-owned
+        signature cache joins the same consume-then-clear lifecycle as
+        the pipeline's own stage caches."""
+        from pywrangler_spark.operators.dedup import MinHashLSHPairs
+
+        docs = read_parquet(
+            spark, "/root/testdata/sf0.001/documents.parquet"
+        ).select("doc_id", "text")
+        op = MinHashLSHPairs("doc_id", "text", num_hashes=8, bands=4)
+        pipe = Pipeline([op])
+        out = pipe.transform(docs)
+        out.count()  # consume the result while the cache is live
+        assert op._persisted  # the stage really did persist something
+        pipe.cacher.clear()
+        assert not op._persisted
+        jsc = spark.sparkContext._jsc
+        assert jsc.getPersistentRDDs().size() == 0
+
+
 class TestProfilers:
     def test_time_profiler_stats(self):
         calls = []

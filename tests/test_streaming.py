@@ -572,6 +572,99 @@ class TestStreamingClassifier:
         assert got == batch
 
 
+class TestStreamingClassifierGate:
+    def test_gate_matches_batch(self, spark, docs_stream_dir):
+        """stream_classify_gate admits exactly the rows the batch
+        scorer would: same predictions, same confidence floor, zero
+        state (append mode)."""
+        from pywrangler_spark.operators.classifier import (
+            fit_text_classifier,
+        )
+        from pywrangler_spark.streaming import stream_classify_gate
+
+        docs = read_parquet(spark, f"{SF}/documents.parquet")
+        labeled = docs.withColumn(
+            "lab",
+            F.when(F.col("doc_id") % 2 == 0, "a").otherwise("b"),
+        )
+        model, labels = fit_text_classifier(
+            labeled, "lab", n_features=1 << 14
+        )
+        gate = stream_classify_gate(
+            model, labels, keep_label="a", min_confidence=0.55,
+            n_features=1 << 14,
+        )
+        batch_ids = {
+            r["doc_id"] for r in docs.transform(gate).collect()
+        }
+        streamed = _run_stream(
+            spark, gate, docs_stream_dir, docs.schema, "clf_gate_sink"
+        )
+        got = {r["doc_id"] for r in streamed.collect()}
+        assert got == batch_ids
+        assert 0 < len(got) < docs.count()  # the gate actually gates
+
+    def test_validation(self):
+        from pywrangler_spark.streaming import stream_classify_gate
+
+        with pytest.raises(ValueError, match="keep_label"):
+            stream_classify_gate(None, ["a", "b"], keep_label="c")
+        with pytest.raises(ValueError, match="min_confidence"):
+            stream_classify_gate(
+                None, ["a", "b"], keep_label="a", min_confidence=1.5
+            )
+
+
+class TestStreamingCentroidRouting:
+    def test_assignment_matches_batch(self, spark, tmp_path):
+        """stream_nearest_centroid routes each embedding to the same
+        IVF cell the batch assignment picks, with the same cosine."""
+        import os as _os
+
+        from pywrangler_spark.operators.similarity import (
+            train_ivf_centroids,
+        )
+        from pywrangler_spark.streaming import stream_nearest_centroid
+
+        emb = read_parquet(spark, f"{SF}/embeddings.parquet")
+        cents = train_ivf_centroids(emb, "embedding", 8, seed=1)
+        route = stream_nearest_centroid(cents, "embedding")
+        batch = {
+            r["vec_id"]: (r["cell"], r["cell_cosine"])
+            for r in emb.transform(route).collect()
+        }
+        files_dir = _os.path.join(str(tmp_path), "files")
+        _os.makedirs(files_dir)
+        emb.coalesce(2).write.parquet(_os.path.join(str(tmp_path), "p"))
+        n = 0
+        for name in sorted(
+            _os.listdir(_os.path.join(str(tmp_path), "p"))
+        ):
+            if name.endswith(".parquet"):
+                shutil.copy(
+                    _os.path.join(str(tmp_path), "p", name),
+                    _os.path.join(files_dir, f"{n:03d}.parquet"),
+                )
+                n += 1
+        streamed = _run_stream(
+            spark, route, files_dir, emb.schema, "route_sink"
+        )
+        got = {
+            r["vec_id"]: (r["cell"], r["cell_cosine"])
+            for r in streamed.collect()
+        }
+        assert got == batch
+        assert len({c for c, _ in got.values()}) > 1  # spread over cells
+
+    def test_validation(self):
+        import numpy as np
+
+        from pywrangler_spark.streaming import stream_nearest_centroid
+
+        with pytest.raises(ValueError, match="matrix"):
+            stream_nearest_centroid(np.zeros(4))
+
+
 class TestIdempotentSink:
     def test_exactly_once_under_replay(self, spark, docs_stream_dir, tmp_path):
         """Replayed batch ids must not duplicate output: run the stream,
