@@ -192,10 +192,13 @@ def main() -> None:
     }
     if errors:
         full["errors"] = errors
-    # full record: file + first stdout line (for humans / the judge)
+    # full record: file + first stdout line (for humans / the judge).
+    # SPARK_GRAFT_BENCH_OUT redirects the full record so off-nominal
+    # runs (e.g. the sf1 scaling pass) don't clobber the sf0.1 artifact
+    out_name = os.environ.get("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "bench_full.json"),
+                     out_name),
         "w",
     ) as fh:
         json.dump(full, fh)

@@ -186,20 +186,30 @@ def excise_duplicate_spans(
     min_docs: int = 2,
     hot_min_docs: int = 100_000,
     output_column: str = "masked_text",
+    preserve_whitespace: bool = False,
 ) -> Callable[[DataFrame], DataFrame]:
-    """Append ``output_column``: the NORMALIZED text with every
-    duplicated-span token removed — the excision step that turns the
-    mask statistics of :func:`mask_duplicate_spans` into cleaned
-    training text.
+    """Append ``output_column``: the text with every duplicated-span
+    token removed — the excision step that turns the mask statistics of
+    :func:`mask_duplicate_spans` into cleaned training text.
 
     The masked token positions are exactly
     :func:`mask_duplicate_spans`'s covered set (same hot/cold split
-    join); each document then rebuilds its text by a positional array
-    filter over its token array — scan-side, no extra shuffle beyond
-    the per-doc position aggregation. The output is whitespace-
-    normalized (the token stream every dedup operator here works on);
-    NULL text stays NULL, clean documents come back verbatim
-    (normalized).
+    join); each document then rebuilds its text scan-side — no extra
+    shuffle beyond the per-doc position aggregation. NULL text stays
+    NULL.
+
+    Two rebuild fidelities:
+
+    - default: whitespace-NORMALIZED output (the token stream every
+      dedup operator here works on); clean documents come back
+      normalized;
+    - ``preserve_whitespace=True``: rebuild from the ORIGINAL text.
+      ``\\S+``/``\\s+`` segments strictly alternate and the non-space
+      segments align 1:1 with the (lowercased) token positions the mask
+      indexes, so a single ``aggregate`` walk drops each masked token
+      together with the whitespace run immediately before it and keeps
+      every other byte verbatim — original case, tabs, and newlines
+      survive. Clean documents come back bit-identical.
 
     Per-doc cost of the rebuild is O(tokens × masked positions) via the
     membership probe — bounded by document length squared in the
@@ -218,6 +228,41 @@ def excise_duplicate_spans(
 
     from pywrangler_spark.functions.text import normalize_text
 
+    def _rebuild_preserving(text, mtoks):
+        segs = F.regexp_extract_all(text, F.lit(r"\S+|\s+"), 0)
+        state0 = F.struct(
+            F.lit(0).cast("int").alias("i"),
+            F.lit("").alias("pend"),
+            F.lit("").alias("out"),
+        )
+
+        def step(acc, seg):
+            ws = F.struct(
+                acc["i"].alias("i"),
+                seg.alias("pend"),
+                acc["out"].alias("out"),
+            )
+            drop = F.struct(
+                (acc["i"] + 1).alias("i"),
+                F.lit("").alias("pend"),
+                acc["out"].alias("out"),
+            )
+            keep = F.struct(
+                (acc["i"] + 1).alias("i"),
+                F.lit("").alias("pend"),
+                F.concat(acc["out"], acc["pend"], seg).alias("out"),
+            )
+            return (
+                F.when(seg.rlike(r"^\s"), ws)
+                .when(F.array_contains(mtoks, acc["i"]), drop)
+                .otherwise(keep)
+            )
+
+        return F.aggregate(
+            segs, state0, step,
+            lambda acc: F.concat(acc["out"], acc["pend"]),
+        )
+
     def _transform(df: DataFrame) -> DataFrame:
         covered = _covered_positions(
             df, id_column, text_column, n, min_docs, hot_min_docs
@@ -228,13 +273,21 @@ def excise_duplicate_spans(
         out = df.join(
             mtoks.withColumnRenamed("_id", id_column), id_column, "left"
         )
-        kept = F.filter(
-            words(F.col(text_column)),
-            lambda x, i: ~F.array_contains(F.col("_mtoks"), i),
-        )
-        rebuilt = F.when(
-            F.col("_mtoks").isNull(), normalize_text(F.col(text_column))
-        ).otherwise(F.concat_ws(" ", kept))
+        if preserve_whitespace:
+            rebuilt = F.when(
+                F.col("_mtoks").isNull(), F.col(text_column)
+            ).otherwise(
+                _rebuild_preserving(F.col(text_column), F.col("_mtoks"))
+            )
+        else:
+            kept = F.filter(
+                words(F.col(text_column)),
+                lambda x, i: ~F.array_contains(F.col("_mtoks"), i),
+            )
+            rebuilt = F.when(
+                F.col("_mtoks").isNull(),
+                normalize_text(F.col(text_column)),
+            ).otherwise(F.concat_ws(" ", kept))
         return out.select(*df.columns, rebuilt.alias(output_column))
 
     _transform.__name__ = "excise_duplicate_spans"

@@ -12,6 +12,7 @@ Use for small-data/debug workflows; the Spark engine is the scale path.
 
 from __future__ import annotations
 
+import re
 from typing import Any, Optional, Sequence, Union
 
 import numpy as np
@@ -397,9 +398,11 @@ def pandas_excise_duplicate_spans(
     n: int = 5,
     min_docs: int = 2,
     output_column: str = "masked_text",
+    preserve_whitespace: bool = False,
 ) -> Any:
     """Pandas twin of ``operators.spandedup.excise_duplicate_spans`` —
-    appends the normalized text with duplicated-span tokens removed."""
+    appends the text with duplicated-span tokens removed (normalized,
+    or byte-faithful to the original with ``preserve_whitespace``)."""
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
     if min_docs < 2:
@@ -440,6 +443,27 @@ def pandas_excise_duplicate_spans(
             for pos, gh in per_doc[r[id_column]]:
                 if gh in dup:
                     covered.update(range(pos, pos + n))
+            if preserve_whitespace:
+                if not covered:
+                    rebuilt.append(text)  # clean doc: byte-identical
+                    continue
+                # same segment walk as the Spark aggregate: a masked
+                # token drops with the whitespace run before it
+                segs = re.findall(r"\S+|\s+", text)
+                i, pend, parts = 0, "", []
+                for seg in segs:
+                    if seg[0].isspace():
+                        pend = seg
+                    elif i in covered:
+                        pend = ""
+                        i += 1
+                    else:
+                        parts.append(pend)
+                        parts.append(seg)
+                        pend = ""
+                        i += 1
+                rebuilt.append("".join(parts) + pend)
+                continue
             toks = _normalize_py(text).split(" ")
             rebuilt.append(
                 " ".join(

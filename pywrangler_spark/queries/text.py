@@ -769,3 +769,73 @@ def docvec_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_queries"),
         (F.avg("recall") >= 0.6).alias("recall_ok"),
     )
+
+
+# ---- PII redaction ---------------------------------------------------------
+# The oracle chain is BUILT from the operator's own pattern table
+# (operators.redact._PATTERNS), so engine parity is by construction:
+# patterns are restricted to the Java-regex/RE2 common subset and
+# applied in the same fixed order. Docs are augmented with deterministic
+# PII (one third email+ip, one third ssn+card+phone, one third clean)
+# so the redactor and its counts are genuinely exercised.
+
+
+def _redact_oracle() -> str:
+    from pywrangler_spark.operators.redact import KINDS, pii_pattern
+
+    aug = (
+        "CASE WHEN doc_id % 3 = 0 THEN text || ' contact u' || doc_id "
+        "|| '@example.org from 10.0.' || (doc_id % 256) || '.7' "
+        "WHEN doc_id % 3 = 1 THEN text || ' ssn 123-45-6789 card "
+        "4111 1111 1111 1111 call +1 555-123-4567' "
+        "ELSE text END"
+    )
+    red = aug
+    for k in KINDS:
+        pat = pii_pattern(k).replace("'", "''")
+        red = (
+            f"regexp_replace({red}, '{pat}', '[{k.upper()}]', 'g')"
+        )
+    counts = " + ".join(
+        f"(len(red) - len(replace(red, '[{k.upper()}]', ''))) "
+        f"// {len(k) + 2}"
+        for k in KINDS
+    )
+    return f"""
+WITH redacted AS (SELECT doc_id, {red} AS red FROM documents)
+SELECT doc_id, red AS text,
+       CASE WHEN red IS NULL THEN NULL
+            ELSE CAST({counts} AS INT) END AS n_redactions
+FROM redacted
+"""
+
+
+@register("redact_pii_docs", oracle=_redact_oracle())
+def redact_pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scrub emails/IPs/SSNs/cards/phones from documents and count the
+    redacted spans — scan-side regexp_replace chain, zero exchanges."""
+    from pywrangler_spark.operators.redact import redact_pii
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    pii_a = F.concat(
+        F.col("text"),
+        F.lit(" contact u"), d.cast("string"),
+        F.lit("@example.org from 10.0."),
+        (d % 256).cast("string"), F.lit(".7"),
+    )
+    pii_b = F.concat(
+        F.col("text"),
+        F.lit(
+            " ssn 123-45-6789 card 4111 1111 1111 1111 "
+            "call +1 555-123-4567"
+        ),
+    )
+    aug = docs.select(
+        "doc_id",
+        F.when(d % 3 == 0, pii_a)
+        .when(d % 3 == 1, pii_b)
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return aug.transform(redact_pii(count_column="n_redactions"))

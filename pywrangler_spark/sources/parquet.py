@@ -80,7 +80,14 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     # TimestampType round-trips the stored wall time under any host TZ
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(path)
-    nanos = set(_nano_timestamp_columns(path))
+    # the footer sniff says which columns pyarrow sees as [ns] — but
+    # INT96 timestamps (Spark's own default parquet output) also report
+    # [ns] while Spark reads them as proper TIMESTAMP. Only columns
+    # that actually arrived as raw longs need the nanos restoration.
+    arrived_long = {
+        f.name for f in df.schema.fields if f.dataType.typeName() == "long"
+    }
+    nanos = set(_nano_timestamp_columns(path)) & arrived_long
     ntz = {f.name for f in df.schema.fields if f.dataType.typeName() == "timestamp_ntz"}
     if not nanos and not ntz:
         return df

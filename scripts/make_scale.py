@@ -1,0 +1,122 @@
+"""Generate a larger scale factor by key-shifted replication of a
+driver testdata directory (default: sf0.1 x10 -> sf1-equivalent).
+
+The driver testdata is read-only and tops out at sf0.1; the scaling
+claims in SCALE.md need at least one measured decade above the bench
+point. Replication with per-replica key offsets preserves every
+referential edge (orders.o_custkey -> customer.c_custkey,
+lineitem.l_orderkey/_partkey/_suppkey -> their parents) while growing
+fact tables, group counts, and corpus size linearly:
+
+- dimensions ``region``/``nation`` stay fixed (as TPC-H scaling does);
+- entity keys shift by ``replica * OFFSET`` with offsets divisible by
+  the modulus constants the registered queries filter on (1e6 / 1e7
+  are multiples of 2,4,5,8,10,20,25,40,50,...), so query selectivity
+  is scale-invariant;
+- ``events`` keeps its time range and multiplies its *users* — window
+  and sessionization operators see 10x groups of unchanged depth,
+  which is how real traffic grows;
+- ``documents``/``embeddings`` replicate verbatim (ids shifted): the
+  replicas are exact duplicates, which is the realistic stress shape
+  for the dedup family (web corpora duplicate wholesale) — SCALE.md
+  documents this when reading the dedup-family scaling numbers.
+
+Timestamps are written at Spark's native micros; ``read_parquet``
+normalizes both the driver's TIMESTAMP(NANOS) and these.
+
+Usage: python scripts/make_scale.py [--mult 10]
+       [--src /root/testdata/sf0.1] [--dest .scratch/sf1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from pywrangler_spark.session import get_spark
+from pywrangler_spark.sources import read_parquet
+
+# key column -> per-replica offset. Offsets exceed every key's range at
+# sf0.1 (max: orderkey 600k, event_id 100k) and are divisible by the
+# query-filter moduli so per-replica selectivity matches the source.
+KEY_OFFSETS = {
+    "c_custkey": 1_000_000,
+    "s_suppkey": 1_000_000,
+    "p_partkey": 1_000_000,
+    "o_orderkey": 10_000_000,
+    "o_custkey": 1_000_000,
+    "l_orderkey": 10_000_000,
+    "l_partkey": 1_000_000,
+    "l_suppkey": 1_000_000,
+    "event_id": 10_000_000,
+    "user_id": 10_000_000,
+    "doc_id": 1_000_000,
+    "vec_id": 1_000_000,
+}
+
+FIXED_TABLES = ("region", "nation")
+SCALED_TABLES = (
+    "customer", "supplier", "part", "orders", "lineitem",
+    "events", "documents", "embeddings",
+)
+
+# output files per table: sized so sf1 partitions stay in the range the
+# bench session's maxPartitionBytes splits well
+OUT_FILES = {"lineitem": 16, "orders": 8, "events": 8}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mult", type=int, default=10)
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--dest", default=".scratch/sf1")
+    args = ap.parse_args()
+    if args.mult < 1:
+        raise SystemExit("--mult must be >= 1")
+
+    spark = get_spark(
+        "make_scale", master="local[16]", shuffle_partitions=32
+    )
+    # write micros (not the INT96 default): pyarrow reports INT96 as
+    # [ns], which would trip read_parquet's nano-column footer sniff
+    spark.conf.set(
+        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+    )
+    os.makedirs(args.dest, exist_ok=True)
+
+    for name in FIXED_TABLES:
+        df = read_parquet(spark, os.path.join(args.src, f"{name}.parquet"))
+        df.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(args.dest, f"{name}.parquet")
+        )
+        print(f"{name}: copied")
+
+    for name in SCALED_TABLES:
+        df = read_parquet(spark, os.path.join(args.src, f"{name}.parquet"))
+        keyed = [c for c in df.columns if c in KEY_OFFSETS]
+        replicas = []
+        for i in range(args.mult):
+            rep = df
+            for c in keyed:
+                rep = rep.withColumn(
+                    c, (F.col(c) + F.lit(i * KEY_OFFSETS[c])).cast("long")
+                )
+            replicas.append(rep)
+        out = functools.reduce(lambda a, b: a.unionByName(b), replicas)
+        n_files = OUT_FILES.get(name, 4)
+        out.repartition(n_files).write.mode("overwrite").parquet(
+            os.path.join(args.dest, f"{name}.parquet")
+        )
+        print(f"{name}: x{args.mult} via {keyed}")
+
+    print("done ->", args.dest)
+
+
+if __name__ == "__main__":
+    main()

@@ -230,3 +230,82 @@ class TestExciseDuplicateSpans:
             if twin[r["doc_id"]] != " ".join(str(r["text"]).lower().split())
         )
         assert changed > 0
+
+
+class TestExcisePreserveWhitespace:
+    def test_preserves_original_bytes(self, spark):
+        """preserve_whitespace=True drops masked tokens with the
+        whitespace run before them and keeps everything else verbatim:
+        case, double spaces, tabs, newlines."""
+        from pywrangler_spark.operators.spandedup import (
+            excise_duplicate_spans,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, "A B c d e  X\tY  z"),
+                (2, "q r A b C d E s t"),
+                (3, "  Clean\tDoc  stays \n byte-identical "),
+            ],
+            ["doc_id", "text"],
+        )
+        out = {
+            r["doc_id"]: r["masked_text"]
+            for r in df.transform(
+                excise_duplicate_spans(
+                    n=5, min_docs=2, preserve_whitespace=True
+                )
+            ).collect()
+        }
+        # docs 1+2 share the 5-gram "a b c d e": those tokens drop
+        # (with their leading whitespace), the rest keeps its original
+        # casing and spacing — note doc 1 keeps the double space + tab
+        assert out[1] == "  X\tY  z"
+        assert out[2] == "q r s t"
+        assert out[3] == "  Clean\tDoc  stays \n byte-identical "
+
+    def test_matches_pandas_twin_on_messy_whitespace(self, spark):
+        from pywrangler_spark.operators.spandedup import (
+            excise_duplicate_spans,
+        )
+        from pywrangler_spark.pandas_engine import (
+            pandas_excise_duplicate_spans,
+        )
+
+        rows = [
+            (1, "The  License\tHeader IS here\nand   Body One two"),
+            (2, "the license header is here\nplus other CONTENT  x"),
+            (3, " leading  and trailing \t "),
+            (4, None),
+            (5, ""),
+            (6, "The  License\tHeader IS here appended tail"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got_spark = {
+            r["doc_id"]: r["masked_text"]
+            for r in df.transform(
+                excise_duplicate_spans(
+                    n=3, min_docs=2, preserve_whitespace=True
+                )
+            ).collect()
+        }
+        import pandas as pd
+
+        pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+        got_pandas = pdf.pipe(
+            pandas_excise_duplicate_spans(
+                n=3, min_docs=2, preserve_whitespace=True
+            )
+        )
+        twin = dict(zip(got_pandas["doc_id"], got_pandas["masked_text"]))
+        for k in got_spark:
+            s, t = got_spark[k], twin[k]
+            if s is None:
+                assert t is None or t != t
+            else:
+                assert s == t, (k, s, t)
+        # sanity: excision really happened and kept original casing
+        assert "CONTENT" in got_spark[2]
+        assert "license" not in got_spark[2].lower().replace(
+            "content", ""
+        ) or "header" not in got_spark[2].lower()
