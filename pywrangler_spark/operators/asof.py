@@ -118,13 +118,17 @@ def asof_join(
             )
             matched = F.last(_PAYLOAD, ignorenulls=True).over(w)
         else:
-            # left (side 1) sorts before right at equal ts -> inclusive
+            # left (side 1) sorts before right at equal ts -> inclusive.
+            # Nearest-following payload = last() over the reversed-order
+            # RUNNING frame: Spark's unbounded-FOLLOWING frame rescans
+            # the rest of the partition per row (O(rows²) per key),
+            # running frames accumulate incrementally.
             w = (
                 Window.partitionBy(*keys)
-                .orderBy(F.col(_TS).asc(), F.col(_SIDE).desc())
-                .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+                .orderBy(F.col(_TS).desc(), F.col(_SIDE).asc())
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
             )
-            matched = F.first(_PAYLOAD, ignorenulls=True).over(w)
+            matched = F.last(_PAYLOAD, ignorenulls=True).over(w)
 
         filled = u.select("*", matched.alias("__m")).where(F.col(_SIDE) == 1)
 

@@ -473,9 +473,22 @@ class SimHashNearPairs:
         ).persist(StorageLevel.MEMORY_AND_DISK)
         self._persisted.append(sk)
 
+        # Sketch-distinct pigeonhole: real corpora duplicate wholesale,
+        # and every copy of a document carries the SAME sketch — running
+        # the block join on raw rows makes hot buckets quadratic in the
+        # duplication factor (measured 54x at a 10x scale-up of a
+        # corpus replicated verbatim). Collapse to distinct sketches
+        # first: the candidate join scales with distinct sketches, the
+        # verify is inline (the sketch IS the key), and the expansion
+        # back to id pairs is sized by the true output.
+        dsk = sk.select("simhash").distinct().persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        self._persisted.append(dsk)
+
         blocks = self._blocks()
-        rows = sk.select(
-            "id",
+        rows = dsk.select(
+            "simhash",
             F.explode(
                 F.array(
                     *[
@@ -490,31 +503,55 @@ class SimHashNearPairs:
                     ]
                 )
             ).alias("b"),
-        ).select("id", "b.blk", "b.bv")
+        ).select("simhash", "b.blk", "b.bv")
 
-        left = rows.select(F.col("id").alias("id_a"), "blk", "bv")
-        right = rows.select(F.col("id").alias("id_b"), "blk", "bv")
-        pairs = (
+        left = rows.select(F.col("simhash").alias("_sa"), "blk", "bv")
+        right = rows.select(F.col("simhash").alias("_sb"), "blk", "bv")
+        near = (
             left.join(right, ["blk", "bv"])
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
-            .dropDuplicates(["id_a", "id_b"])
-        )
-        sk_a = sk.select(
-            F.col("id").alias("id_a"), F.col("simhash").alias("_sa")
-        )
-        sk_b = sk.select(
-            F.col("id").alias("id_b"), F.col("simhash").alias("_sb")
-        )
-        ham = F.bit_count(
-            F.col("_sa").bitwiseXOR(F.col("_sb"))
-        ).alias("hamming")
-        return (
-            pairs.join(sk_a, "id_a")
-            .join(sk_b, "id_b")
-            .select("id_a", "id_b", ham)
+            .filter(F.col("_sa") < F.col("_sb"))
+            .select("_sa", "_sb")
+            .dropDuplicates(["_sa", "_sb"])
+            .withColumn(
+                "hamming",
+                F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))),
+            )
             .filter(F.col("hamming") <= self.max_hamming)
         )
+
+        # cross-group pairs: every member of sketch-group a with every
+        # member of sketch-group b (the true near-dup output)
+        mem_a = sk.select(
+            F.col("simhash").alias("_sa"), F.col("id").alias("_ia")
+        )
+        mem_b = sk.select(
+            F.col("simhash").alias("_sb"), F.col("id").alias("_ib")
+        )
+        cross = (
+            near.join(mem_a, "_sa")
+            .join(mem_b, "_sb")
+            .select(
+                F.least("_ia", "_ib").alias("id_a"),
+                F.greatest("_ia", "_ib").alias("id_b"),
+                "hamming",
+            )
+        )
+        # within-group pairs: identical sketches, hamming 0
+        within = (
+            mem_a.join(
+                mem_a.select(
+                    F.col("_sa"), F.col("_ia").alias("_ib")
+                ),
+                "_sa",
+            )
+            .filter(F.col("_ia") < F.col("_ib"))
+            .select(
+                F.col("_ia").alias("id_a"),
+                F.col("_ib").alias("id_b"),
+                F.lit(0).cast("int").alias("hamming"),
+            )
+        )
+        return cross.unionByName(within)
 
 
 def simhash_near_pairs(

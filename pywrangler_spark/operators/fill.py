@@ -41,12 +41,15 @@ def _fill(
             )
             fills = {c: F.last(c, ignorenulls=True).over(w) for c in cols}
         else:
+            # nearest-following non-null = last() over the reversed-
+            # order RUNNING frame; Spark's unbounded-FOLLOWING frame
+            # rescans the partition tail per row (O(rows²) per group)
             w = (
                 Window.partitionBy(*groups)
-                .orderBy(*[F.col(c).asc() for c in order])
-                .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+                .orderBy(*[F.col(c).desc() for c in order])
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
             )
-            fills = {c: F.first(c, ignorenulls=True).over(w) for c in cols}
+            fills = {c: F.last(c, ignorenulls=True).over(w) for c in cols}
         return df.select(
             *[fills[c].alias(c) if c in fills else c for c in df.columns]
         )

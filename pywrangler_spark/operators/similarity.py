@@ -589,15 +589,21 @@ def train_pq_codebooks(
     for j in range(m):
         x = sample[:, j * sub : (j + 1) * sub]
         # seeded init from distinct sample rows; plain Lloyd iterations
-        # (a coarse per-subspace quantizer needs no k-means++ polish)
+        # (a coarse per-subspace quantizer needs no k-means++ polish).
+        # Distances via the GEMM identity ||x-c||² = ||x||² - 2x·c +
+        # ||c||²: the naive (n, k, sub) broadcast tensor made the fit
+        # scale with sample x codebook memory traffic (measured ~40 s
+        # at a 20k-row sample with k=256); the GEMM form is one matmul.
         cent = x[rng.choice(len(x), size=codebook_k, replace=False)].copy()
+        x2 = (x**2).sum(axis=1, keepdims=True)
         for _ in range(iters):
-            d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            d2 = x2 - 2.0 * (x @ cent.T) + (cent**2).sum(axis=1)[None, :]
             assign = d2.argmin(axis=1)
-            for c in range(codebook_k):
-                pts = x[assign == c]
-                if len(pts):
-                    cent[c] = pts.mean(axis=0)
+            counts = np.bincount(assign, minlength=codebook_k)
+            sums = np.zeros((codebook_k, sub))
+            np.add.at(sums, assign, x)
+            nz = counts > 0
+            cent[nz] = sums[nz] / counts[nz, None]
         books[j] = cent
     return books
 
@@ -618,7 +624,11 @@ def _pq_encode_udf(books: np.ndarray):
         codes = np.empty((len(x), m), dtype="int32")
         for j in range(m):
             xs = x[:, j * sub : (j + 1) * sub]
-            d2 = ((xs[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+            cent = books[j]
+            # GEMM distance form (see train_pq_codebooks): argmin of
+            # ||x||² - 2x·c + ||c||²; the ||x||² term is rank-constant
+            # and drops out of the argmin
+            d2 = (cent**2).sum(axis=1)[None, :] - 2.0 * (xs @ cent.T)
             codes[:, j] = d2.argmin(axis=1)
         return pd.Series(list(codes))
 

@@ -40,7 +40,7 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TOPK_ORACLE = f"""
 WITH e AS ({_NORM_E}
 ), q AS (
-    SELECT vec_id AS qid, v AS qv, n AS qn FROM e WHERE vec_id % 40 = 0
+    SELECT vec_id AS qid, v AS qv, n AS qn FROM e WHERE vec_id % 40 = 0 AND vec_id < 2000
 ), scored AS (
     SELECT qid AS query_id, e.vec_id AS neighbor_id,
            round(list_dot_product(qv, e.v) / nullif(qn * e.n, 0.0), 6)
@@ -64,7 +64,8 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "embedding",
             k=10,
-            query_filter=F.col("vec_id") % 40 == 0,
+            query_filter=(F.col("vec_id") % 40 == 0)
+            & (F.col("vec_id") < 2000),
         )
     )
 
@@ -83,7 +84,7 @@ _EMB_DIM = 64  # embeddings.embedding width (TESTDATA.md; asserted in tests)
 _RECALL_ORACLE = """
 SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
        TRUE AS recall_ok
-FROM embeddings WHERE vec_id % 40 = 0
+FROM embeddings WHERE vec_id % 40 = 0 AND vec_id < 2000
 """
 
 
@@ -94,7 +95,8 @@ def _recall_row(
     exact = emb.transform(
         topk_cosine(
             "vec_id", "embedding", k=10,
-            query_filter=F.col("vec_id") % 40 == 0,
+            query_filter=(F.col("vec_id") % 40 == 0)
+            & (F.col("vec_id") < 2000),
         )
     ).select("query_id", "neighbor_id")
     hits = exact.join(
@@ -131,7 +133,8 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             k=10,
             n_planes=8,
             dim=_EMB_DIM,
-            query_filter=F.col("vec_id") % 40 == 0,
+            query_filter=(F.col("vec_id") % 40 == 0)
+            & (F.col("vec_id") < 2000),
         )
     )
     return _recall_row(emb, approx, floor=0.3)
@@ -163,7 +166,8 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             k=10,
             n_centroids=16,
             n_probe=4,
-            query_filter=F.col("vec_id") % 40 == 0,
+            query_filter=(F.col("vec_id") % 40 == 0)
+            & (F.col("vec_id") < 2000),
             centroids=_IVF_CENTROIDS[key],
         )
     )
@@ -199,7 +203,8 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             k=10,
             m=16,
             codebook_k=256,
-            query_filter=F.col("vec_id") % 40 == 0,
+            query_filter=(F.col("vec_id") % 40 == 0)
+            & (F.col("vec_id") < 2000),
             codebooks=_PQ_CODEBOOKS[key],
         )
     )
@@ -213,6 +218,7 @@ WITH e AS ({_NORM_E}
            round(list_dot_product(a.v, b.v) / nullif(a.n * b.n, 0.0), 6)
                AS cosine
     FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE a.vec_id < 2000 AND b.vec_id < 2000
 )
 SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.3
 """
@@ -220,8 +226,16 @@ SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.3
 
 @register("embedding_neardup_pairs", oracle=_NEARDUP_ORACLE)
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _emb(spark, sf_dir).transform(
-        cosine_neardup_pairs("vec_id", "embedding", threshold=0.3)
+    # quadratic exact tier: capped at 2000 vectors like the other
+    # pairwise verification demos (the cap is a no-op at driver scales,
+    # where vec_ids stop below it); the scale path is semantic_dedup's
+    # LSH discovery tier over the same vectors
+    return (
+        _emb(spark, sf_dir)
+        .filter(F.col("vec_id") < 2000)
+        .transform(
+            cosine_neardup_pairs("vec_id", "embedding", threshold=0.3)
+        )
     )
 
 
@@ -247,7 +261,7 @@ WITH e AS (
 ), n8 AS (
     SELECT vec_id, q, list_dot_product(q, q) AS nsq FROM q8
 ), qs AS (
-    SELECT vec_id AS qid, q AS qq, nsq AS qn FROM n8 WHERE vec_id % 40 = 0
+    SELECT vec_id AS qid, q AS qq, nsq AS qn FROM n8 WHERE vec_id % 40 = 0 AND vec_id < 2000
 ), scored AS (
     SELECT qid AS query_id, n8.vec_id AS neighbor_id,
            round(list_dot_product(qq, n8.q)
@@ -273,7 +287,8 @@ def ann_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "embedding",
             k=10,
-            query_filter=F.col("vec_id") % 40 == 0,
+            query_filter=(F.col("vec_id") % 40 == 0)
+            & (F.col("vec_id") < 2000),
         )
     )
 
@@ -323,7 +338,8 @@ WITH RECURSIVE e0 AS ({_NORM_E}
 ), pairs AS (
     SELECT a.vec_id AS id_a, b.vec_id AS id_b
     FROM e0 a JOIN e0 b ON a.vec_id < b.vec_id
-    WHERE round(list_dot_product(a.v, b.v)
+    WHERE a.vec_id < 2000 AND b.vec_id < 2000
+      AND round(list_dot_product(a.v, b.v)
                 / nullif(a.n * b.n, 0.0), 6) >= 0.3
 ), e AS (
     SELECT id_a AS s, id_b AS d FROM pairs
@@ -349,9 +365,17 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pywrangler_spark.operators.graph import connected_components
 
     emb = _emb(spark, sf_dir)
-    pairs = emb.transform(
-        cosine_neardup_pairs("vec_id", "embedding", threshold=0.3)
-    ).select("id_a", "id_b")
+    # quadratic exact pair tier capped at 2000 vectors (a no-op at
+    # driver scales), matching dedup_clusters_jaccard's _JACCARD_CAP;
+    # at corpus scale the discovery tier is LSH/IVF candidates + exact
+    # verification of candidates only
+    pairs = (
+        emb.filter(F.col("vec_id") < 2000)
+        .transform(
+            cosine_neardup_pairs("vec_id", "embedding", threshold=0.3)
+        )
+        .select("id_a", "id_b")
+    )
     cc = connected_components(
         pairs, src="id_a", dst="id_b",
         id_column="vec_id", component_column="component",
@@ -400,7 +424,8 @@ def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_probe=4,
             m=16,
             codebook_k=256,
-            query_filter=F.col("vec_id") % 40 == 0,
+            query_filter=(F.col("vec_id") % 40 == 0)
+            & (F.col("vec_id") < 2000),
             centroids=_IVF_CENTROIDS[ckey],
             codebooks=_PQ_CODEBOOKS[bkey],
         )

@@ -724,7 +724,7 @@ def frequency_encode_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---- ANN over hashed doc vectors (the discovery path for docvec) ----------
 _DOCVEC_ANN_ORACLE = f"""
 SELECT CAST(count(*) AS BIGINT) AS n_queries, TRUE AS recall_ok
-FROM documents WHERE doc_id % 40 = 0 AND {_NORM_SQL} <> ''
+FROM documents WHERE doc_id % 40 = 0 AND doc_id < 2000 AND {_NORM_SQL} <> ''
 """
 
 
@@ -743,7 +743,9 @@ def docvec_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = _docs(spark, sf_dir).transform(
         hashed_doc_vectors("doc_id", "text", dim=64)
     )
-    qf = F.col("id") % 40 == 0
+    # fixed query batch: the cap is a no-op at driver scales and
+    # pins serving cost to (batch x corpus) at larger ones
+    qf = (F.col("id") % 40 == 0) & (F.col("id") < 2000)
     exact = vecs.transform(
         topk_cosine("id", "doc_vec", k=10, query_filter=qf)
     ).select("query_id", "neighbor_id")
