@@ -156,6 +156,10 @@ class TestStageCacheLifecycle:
         docs = read_parquet(
             spark, "/root/testdata/sf0.001/documents.parquet"
         ).select("doc_id", "text")
+        jsc = spark.sparkContext._jsc
+        # delta-based: the shared test session may carry other tests'
+        # caches; this pipeline must add none of its own after clear()
+        before = set(jsc.getPersistentRDDs().keySet().toArray())
         op = MinHashLSHPairs("doc_id", "text", num_hashes=8, bands=4)
         pipe = Pipeline([op])
         out = pipe.transform(docs)
@@ -163,8 +167,8 @@ class TestStageCacheLifecycle:
         assert op._persisted  # the stage really did persist something
         pipe.cacher.clear()
         assert not op._persisted
-        jsc = spark.sparkContext._jsc
-        assert jsc.getPersistentRDDs().size() == 0
+        after = set(jsc.getPersistentRDDs().keySet().toArray())
+        assert after - before == set()
 
 
 class TestProfilers:
