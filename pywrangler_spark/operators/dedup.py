@@ -25,7 +25,10 @@ the same arithmetic.
 from __future__ import annotations
 
 import random
-from typing import Callable, List, Sequence, Tuple
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import numpy as np
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -611,4 +614,148 @@ def dedup_incremental(
             ).drop("_fp")
         )
 
+    return _transform
+
+
+# ---- bloom-prefiltered incremental dedup -----------------------------------
+# When the historical store holds 10^10+ fingerprints, anti-joining the
+# whole batch against it shuffles every batch row. A bloom filter of
+# the store (bits sized for the target fpp) is a bounded broadcast
+# artifact: bloom-NEGATIVE rows are *definitely* unseen and skip the
+# join entirely; only probable-positives (true dups + fpp of the batch)
+# verify against the store — so the result is EXACTLY the anti-join's,
+# at a join probe size of (dups + fpp x batch) instead of the batch.
+
+
+def build_fingerprint_bloom(
+    seen: DataFrame,
+    fingerprint_column: str = "fingerprint",
+    fpp: float = 0.01,
+    expected_items: Optional[int] = None,
+    seed: int = 42,
+):
+    """Distributed bloom build over a fingerprint store. Returns
+    ``(bitmap, k, m)``: a packed ``np.uint8`` bit array of ``m`` bits
+    and the hash count ``k`` (standard sizing: m = -n ln p / ln²2,
+    k = (m/n) ln 2).
+
+    Bit positions are ``xxhash64(fp, i) pmod m`` — computed JVM-side,
+    scan-side. Each Arrow batch folds its positions into one local
+    bitmap (``mapInPandas``), and the driver ORs the per-batch bitmaps
+    — the treeAggregate shape; what crosses the wire is one bitmap per
+    batch, never the positions. ``expected_items`` skips the sizing
+    ``count()`` when the caller knows the store size (fit-stage action
+    otherwise, like the ANN centroid fits).
+    """
+    import math
+
+    if not 0.0 < fpp < 1.0:
+        raise ValueError(f"fpp must be in (0, 1), got {fpp}")
+    n = expected_items if expected_items is not None else seen.count()
+    n = max(int(n), 1)
+    m = max(64, int(-n * math.log(fpp) / (math.log(2) ** 2)))
+    m = (m + 7) // 8 * 8  # byte-align
+    k = max(1, int(round(m / n * math.log(2))))
+
+    pos_cols = [
+        F.pmod(
+            F.xxhash64(F.col(fingerprint_column), F.lit(seed + i)),
+            F.lit(m),
+        ).alias(f"_p{i}")
+        for i in range(k)
+    ]
+    positions = seen.select(*pos_cols)
+
+    n_bytes = m // 8
+
+    def _fold(batches):
+        bm = np.zeros(n_bytes, dtype="uint8")
+        any_rows = False
+        for pdf in batches:
+            if len(pdf):
+                any_rows = True
+                for c in pdf.columns:
+                    idx = pdf[c].to_numpy().astype("int64")
+                    np.bitwise_or.at(
+                        bm, idx >> 3, (1 << (idx & 7)).astype("uint8")
+                    )
+        if any_rows:
+            yield pd.DataFrame({"bm": [bm.tobytes()]})
+
+    parts = positions.mapInPandas(_fold, "bm binary").collect()
+    bitmap = np.zeros(n_bytes, dtype="uint8")
+    for r in parts:
+        bitmap |= np.frombuffer(r["bm"], dtype="uint8")
+    return bitmap, k, m
+
+
+def dedup_incremental_bloom(
+    seen: DataFrame,
+    id_column: str,
+    text_column: str,
+    fingerprint_column: str = "fingerprint",
+    fpp: float = 0.01,
+    expected_items: Optional[int] = None,
+    seed: int = 42,
+) -> Callable[[DataFrame], DataFrame]:
+    """:func:`dedup_incremental` with a bloom prefilter on the store.
+
+    Output is IDENTICAL to the exact operator (bloom filters have no
+    false negatives, and probable-positives are verified with the same
+    anti-join) — only the join probe shrinks, from the whole batch to
+    the true duplicates plus ``fpp`` of the batch. The bitmap is the
+    broadcast model artifact; probing is k scan-side hashes plus one
+    Arrow-batched bit lookup.
+    """
+
+    def _transform(df: DataFrame) -> DataFrame:
+        bitmap, k, m = build_fingerprint_bloom(
+            seen, fingerprint_column, fpp=fpp,
+            expected_items=expected_items, seed=seed,
+        )
+        sc = df.sparkSession.sparkContext
+        bc = sc.broadcast(bitmap)
+
+        from pyspark.sql.pandas.functions import pandas_udf
+
+        @pandas_udf("boolean")
+        def _might_contain(*pos: pd.Series) -> pd.Series:
+            bm = bc.value
+            res = np.ones(len(pos[0]), dtype=bool)
+            for p in pos:
+                idx = p.to_numpy().astype("int64")
+                res &= (bm[idx >> 3] >> (idx & 7) & 1).astype(bool)
+            return pd.Series(res)
+
+        with_fp = df.withColumn("_fp", fingerprint(F.col(text_column)))
+        probe = [
+            F.pmod(F.xxhash64(F.col("_fp"), F.lit(seed + i)), F.lit(m))
+            for i in range(k)
+        ]
+        flagged = with_fp.withColumn("_maybe", _might_contain(*probe))
+        neg = flagged.filter(~F.col("_maybe"))  # definitely unseen
+        pos = flagged.filter(F.col("_maybe"))
+        verified = pos.join(
+            seen.select(
+                F.col(fingerprint_column).alias("_seen_fp")
+            ).distinct(),
+            pos["_fp"] == F.col("_seen_fp"),
+            "left_anti",
+        )
+        unseen = neg.unionByName(verified).drop("_maybe")
+        reps = (
+            unseen.groupBy("_fp")
+            .agg(F.min(id_column).alias("_rep"))
+            .withColumnRenamed("_fp", "_fp_r")
+        )
+        return (
+            unseen.join(
+                reps,
+                (unseen["_fp"] == reps["_fp_r"])
+                & (unseen[id_column] == reps["_rep"]),
+                "left_semi",
+            ).drop("_fp")
+        )
+
+    _transform.__name__ = "dedup_incremental_bloom"
     return _transform

@@ -46,7 +46,7 @@ from pywrangler_spark.queries import text as _text  # noqa: E402,F401
 # (mutually similar star-join/agg shapes) last.
 _PRIORITY = [
     # new in round 4 — need a first driver row
-    "redact_pii_docs",
+    "redact_pii_docs", "dedup_incremental_bloom_docs",
     # stalest: last driver-green in round 1 (CORRECTNESS_r01), two
     # rounds of code churn ago — the driver must re-own the signal
     "q10_returned_items", "q12_late_shipments", "q13_order_distribution",

@@ -327,3 +327,27 @@ def dedup_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return batch.transform(
         dedup_incremental(seen, "doc_id", "text")
     ).select("doc_id")
+
+
+@register("dedup_incremental_bloom_docs", oracle=_INCR_ORACLE)
+def dedup_incremental_bloom_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bloom-prefiltered incremental dedup. Shares the EXACT oracle of
+    ``dedup_incremental_docs``: bloom filters have no false negatives
+    and probable-positives verify with the same anti-join, so the
+    bounded-memory path must reproduce the exact result bit-for-bit —
+    which is precisely what this driver row checks."""
+    from pywrangler_spark.operators.dedup import (
+        dedup_incremental_bloom,
+        duplicate_groups,
+    )
+
+    docs = _docs(spark, sf_dir)
+    seen = docs.filter(F.col("doc_id") % 3 == 0).transform(
+        duplicate_groups("doc_id", "text")
+    )
+    batch = docs.filter(F.col("doc_id") % 3 != 0)
+    return batch.transform(
+        dedup_incremental_bloom(seen, "doc_id", "text", fpp=0.01)
+    ).select("doc_id")

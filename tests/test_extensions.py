@@ -657,3 +657,83 @@ class TestIncrementalDedup:
         # within-batch duplicate pair survives
         assert ids == [100, 101, 102, 103, 104]
         assert out.columns == batch.columns
+
+    def test_bloom_variant_matches_exact(self, spark, docs):
+        """The bloom-prefiltered path must reproduce the exact
+        operator's output bit-for-bit (no false negatives + verified
+        positives), at every fpp tried."""
+        from pywrangler_spark.operators.dedup import (
+            dedup_incremental,
+            dedup_incremental_bloom,
+            duplicate_groups,
+        )
+
+        seen = docs.filter(F.col("doc_id") % 3 == 0).transform(
+            duplicate_groups("doc_id", "text")
+        )
+        batch = docs.filter(F.col("doc_id") % 3 != 0)
+        exact = sorted(
+            r["doc_id"]
+            for r in batch.transform(
+                dedup_incremental(seen, "doc_id", "text")
+            ).collect()
+        )
+        for fpp in (0.5, 0.01):
+            got = sorted(
+                r["doc_id"]
+                for r in batch.transform(
+                    dedup_incremental_bloom(
+                        seen, "doc_id", "text", fpp=fpp
+                    )
+                ).collect()
+            )
+            assert got == exact, fpp
+
+    def test_bloom_membership_properties(self, spark, docs):
+        """Every stored fingerprint probes positive (no false
+        negatives); the false-positive rate on novel keys stays near
+        the configured fpp."""
+        import numpy as np
+
+        from pywrangler_spark.operators.dedup import (
+            build_fingerprint_bloom,
+            duplicate_groups,
+        )
+
+        seen = docs.transform(duplicate_groups("doc_id", "text"))
+        bitmap, k, m = build_fingerprint_bloom(seen, fpp=0.01)
+        fps = [r["fingerprint"] for r in seen.collect()]
+        novel = [f"novel-{i}" for i in range(2000)]
+        probe = spark.createDataFrame(
+            [(f, True) for f in fps] + [(f, False) for f in novel],
+            "fingerprint string, stored boolean",
+        )
+        pos = [
+            F.pmod(
+                F.xxhash64(F.col("fingerprint"), F.lit(42 + i)),
+                F.lit(m),
+            ).alias(f"_p{i}")
+            for i in range(k)
+        ]
+        rows = probe.select("stored", *pos).collect()
+        fp_hits = 0
+        for r in rows:
+            hit = all(
+                bitmap[r[f"_p{i}"] >> 3] >> (r[f"_p{i}"] & 7) & 1
+                for i in range(k)
+            )
+            if r["stored"]:
+                assert hit  # bloom must never miss a stored key
+            elif hit:
+                fp_hits += 1
+        assert fp_hits / len(novel) < 0.05  # near the 1% target
+
+    def test_bloom_validation(self, spark, docs):
+        from pywrangler_spark.operators.dedup import (
+            build_fingerprint_bloom,
+        )
+
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="fpp"):
+            build_fingerprint_bloom(docs, fpp=1.5)
