@@ -268,3 +268,42 @@ def test_round3b_operators_empty(spark, empty_docs, empty_events):
     assert empty_docs.transform(
         dedup_incremental(seen, "doc_id", "text")
     ).count() == 0
+
+
+def test_round4_operators_empty(spark, empty_docs):
+    from pywrangler_spark.operators.redact import redact_pii
+    from pywrangler_spark.operators.spandedup import (
+        excise_duplicate_spans,
+    )
+
+    assert empty_docs.transform(
+        redact_pii(count_column="n_red")
+    ).count() == 0
+    assert empty_docs.transform(
+        excise_duplicate_spans(n=3, min_docs=2, preserve_whitespace=True)
+    ).count() == 0
+
+
+def test_bloom_incremental_empty_sides(spark, empty_docs):
+    """Empty batch -> empty output; empty store -> pure within-batch
+    dedup (the bloom of an empty store rejects everything)."""
+    from pywrangler_spark.operators.dedup import (
+        dedup_incremental_bloom,
+        duplicate_groups,
+    )
+    from pywrangler_spark.sources import read_parquet
+
+    docs = read_parquet(
+        spark, "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    seen = docs.limit(50).transform(duplicate_groups("doc_id", "text"))
+    empty_seen = seen.filter(F.lit(False))
+
+    assert empty_docs.transform(
+        dedup_incremental_bloom(seen, "doc_id", "text")
+    ).count() == 0
+    n_docs = docs.count()
+    out = docs.transform(
+        dedup_incremental_bloom(empty_seen, "doc_id", "text")
+    )
+    assert out.count() == n_docs  # all texts distinct in the fixture
