@@ -66,8 +66,10 @@ SCALED_TABLES = (
     "events", "documents", "embeddings",
 )
 
-# output files per table: sized so sf1 partitions stay in the range the
-# bench session's maxPartitionBytes splits well
+# output files per table AT mult=10: file count scales linearly with
+# the multiplier so scan parallelism grows with the data — a fixed
+# file count silently turns every sf10 scan into a 4-way bottleneck
+# (measured: dedup_exact 61x instead of ~linear at the 100x point)
 OUT_FILES = {"lineitem": 16, "orders": 8, "events": 8}
 
 
@@ -81,7 +83,8 @@ def main() -> None:
         raise SystemExit("--mult must be >= 1")
 
     spark = get_spark(
-        "make_scale", master="local[16]", shuffle_partitions=32
+        "make_scale", master="local[16]", shuffle_partitions=32,
+        extra_conf={"spark.driver.memory": "48g"},
     )
     # write micros (not the INT96 default): pyarrow reports INT96 as
     # [ns], which would trip read_parquet's nano-column footer sniff
@@ -109,7 +112,9 @@ def main() -> None:
                 )
             replicas.append(rep)
         out = functools.reduce(lambda a, b: a.unionByName(b), replicas)
-        n_files = OUT_FILES.get(name, 4)
+        n_files = max(
+            1, OUT_FILES.get(name, 4) * args.mult // 10
+        )
         out.repartition(n_files).write.mode("overwrite").parquet(
             os.path.join(args.dest, f"{name}.parquet")
         )
