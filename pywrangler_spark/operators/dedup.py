@@ -238,14 +238,28 @@ class MinHashLSHPairs:
 
         sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
         self._persisted.append(sigs)
-        # The candidate stream shuffles IDS ONLY: the band self-join and the
-        # pair dedup move (band, bh, id) rows — 8-byte ids, never the
-        # num_hashes-long signatures. Signatures are joined back AFTER the
-        # dedup, keyed by id, for scoring. At 100 TB the candidate exchange
-        # dominates; carrying 16 longs per row through it would multiply the
-        # shuffle ~9×. (Same discipline as similarity.topk_cosine_lsh.)
-        band_rows = sigs.select(
-            "_id",
+        # Signature-distinct banding (same rationale as the simhash
+        # rewrite): wholesale-duplicated corpora give every copy the
+        # SAME signature, so banding raw rows makes the candidate join
+        # quadratic in the duplication factor AND multiplies it by the
+        # band count. Collapse to distinct signatures first — the band
+        # join runs over reps, and the expansion back to id pairs is
+        # sized by the true output (within-group pairs score exactly
+        # 1.0: identical signatures agree on all hashes).
+        dsigs = sigs.groupBy("_sig").agg(
+            F.min("_id").alias("_rep")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        self._persisted.append(dsigs)
+
+        # The candidate stream shuffles IDS ONLY: the band self-join and
+        # the pair dedup move (band, bh, rep) rows — 8-byte ids, never
+        # the num_hashes-long signatures. Signatures join back AFTER the
+        # dedup, keyed by rep, for scoring. At 100 TB the candidate
+        # exchange dominates; carrying 16 longs per row through it would
+        # multiply the shuffle ~9×. (Same discipline as
+        # similarity.topk_cosine_lsh.)
+        band_rows = dsigs.select(
+            "_rep",
             F.explode(
                 F.array(
                     *[
@@ -261,23 +275,23 @@ class MinHashLSHPairs:
                     ]
                 )
             ).alias("b"),
-        ).select("_id", "b.band", "b.bh")
+        ).select("_rep", "b.band", "b.bh")
 
-        left = band_rows.select(F.col("_id").alias("id_a"), "band", "bh")
-        right = band_rows.select(F.col("_id").alias("id_b"), "band", "bh")
+        left = band_rows.select(F.col("_rep").alias("rep_a"), "band", "bh")
+        right = band_rows.select(F.col("_rep").alias("rep_b"), "band", "bh")
         pairs = (
             left.join(right, ["band", "bh"])
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
-            .dropDuplicates(["id_a", "id_b"])
+            .filter(F.col("rep_a") < F.col("rep_b"))
+            .select("rep_a", "rep_b")
+            .dropDuplicates(["rep_a", "rep_b"])
         )
-        sig_a = sigs.select(
-            F.col("_id").alias("id_a"), F.col("_sig").alias("sig_a")
+        sig_a = dsigs.select(
+            F.col("_rep").alias("rep_a"), F.col("_sig").alias("sig_a")
         )
-        sig_b = sigs.select(
-            F.col("_id").alias("id_b"), F.col("_sig").alias("sig_b")
+        sig_b = dsigs.select(
+            F.col("_rep").alias("rep_b"), F.col("_sig").alias("sig_b")
         )
-        scored = pairs.join(sig_a, "id_a").join(sig_b, "id_b")
+        scored = pairs.join(sig_a, "rep_a").join(sig_b, "rep_b")
         sim = (
             F.size(
                 F.filter(
@@ -287,10 +301,45 @@ class MinHashLSHPairs:
             )
             / F.lit(float(num_hashes))
         ).alias("sig_similarity")
-        return (
-            scored.select("id_a", "id_b", sim)
-            .filter(F.col("sig_similarity") >= min_signature_similarity)
+        rep_pairs = scored.select("rep_a", "rep_b", sim).filter(
+            F.col("sig_similarity") >= min_signature_similarity
         )
+
+        # expand rep pairs to id pairs through group membership
+        members = sigs.join(dsigs, "_sig").select("_id", "_rep")
+        mem_a = members.select(
+            F.col("_rep").alias("rep_a"), F.col("_id").alias("_ia")
+        )
+        mem_b = members.select(
+            F.col("_rep").alias("rep_b"), F.col("_id").alias("_ib")
+        )
+        cross = (
+            rep_pairs.join(mem_a, "rep_a")
+            .join(mem_b, "rep_b")
+            .select(
+                F.least("_ia", "_ib").alias("id_a"),
+                F.greatest("_ia", "_ib").alias("id_b"),
+                "sig_similarity",
+            )
+        )
+        within = (
+            mem_a.join(
+                mem_a.select(
+                    F.col("rep_a"), F.col("_ia").alias("_ib")
+                ),
+                "rep_a",
+            )
+            .filter(F.col("_ia") < F.col("_ib"))
+            .select(
+                F.col("_ia").alias("id_a"),
+                F.col("_ib").alias("id_b"),
+                F.lit(1.0).alias("sig_similarity"),
+            )
+            .filter(
+                F.col("sig_similarity") >= min_signature_similarity
+            )
+        )
+        return cross.unionByName(within)
 
 
 def minhash_lsh_pairs(
