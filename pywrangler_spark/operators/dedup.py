@@ -682,6 +682,7 @@ def build_fingerprint_bloom(
     fpp: float = 0.01,
     expected_items: Optional[int] = None,
     seed: int = 42,
+    max_bitmap_bytes: int = 1 << 28,
 ):
     """Distributed bloom build over a fingerprint store. Returns
     ``(bitmap, k, m)``: a packed ``np.uint8`` bit array of ``m`` bits
@@ -695,6 +696,16 @@ def build_fingerprint_bloom(
     batch, never the positions. ``expected_items`` skips the sizing
     ``count()`` when the caller knows the store size (fit-stage action
     otherwise, like the ANN centroid fits).
+
+    Practical size bound: the driver holds one ``m/8``-byte partial per
+    Arrow batch transiently plus the OR'd result, and the probe side
+    broadcasts the whole bitmap — so ``m`` must stay broadcast-sized.
+    ``max_bitmap_bytes`` (default 256 MiB ≈ 2.2e8 fingerprints at
+    fpp=0.01, ≈ 1.5e9 at fpp=0.5) raises early instead of silently
+    building a bitmap the driver/broadcast path can't carry. Past that
+    bound, shard the store and run one filter per shard (fingerprint
+    ranges partition cleanly), or raise ``fpp`` — the anti-join verify
+    keeps the result exact at any fpp.
     """
     import math
 
@@ -704,6 +715,13 @@ def build_fingerprint_bloom(
     n = max(int(n), 1)
     m = max(64, int(-n * math.log(fpp) / (math.log(2) ** 2)))
     m = (m + 7) // 8 * 8  # byte-align
+    if m // 8 > max_bitmap_bytes:
+        raise ValueError(
+            f"bloom bitmap would be {m // 8} bytes for n={n} at "
+            f"fpp={fpp}, over max_bitmap_bytes={max_bitmap_bytes}; "
+            "shard the fingerprint store (one filter per shard) or "
+            "raise fpp — the anti-join verify stays exact either way"
+        )
     k = max(1, int(round(m / n * math.log(2))))
 
     pos_cols = [

@@ -6,6 +6,16 @@ as the pandas-familiar ``ffill``/``bfill``. One shuffle on the group
 keys; all filled columns share the single window, so adding columns adds
 no exchanges. Rows before the first non-null (ffill) / after the last
 (bfill) stay null — pandas semantics.
+
+Tie precondition (applies to every reversed-order running-frame rewrite
+of "next non-null" in this repo — here, ``asof.py``,
+``interval_global.py``, ``interval_identifier.py``): the rewrite is
+exactly equivalent to an unbounded-FOLLOWING frame only when the
+orderby keys are unique within a group. With duplicate keys, tied peers
+can land on either side of the current row — but tie order was already
+engine-nondeterministic under the old frame too, so results among exact
+ties are nondeterministic either way. Callers needing determinism under
+ties should append a unique tiebreaker column to ``orderby_columns``.
 """
 
 from __future__ import annotations

@@ -91,27 +91,30 @@ def redact_pii(
             cols.append(red.alias(out_col))
         res = df.select(*cols)
         if count_column:
-            # markers contain no spaces; count "[KIND]" occurrences by
-            # the length delta against a marker-stripped copy
-            marker_stripped = F.col(out_col)
+            # Count each "[KIND]" marker INDEPENDENTLY on the final
+            # redacted string (length delta vs a copy with that one
+            # marker removed). No marker is a substring of another, and
+            # counting without successive stripping is exactly what the
+            # SQL oracle does — successive stripping could splice
+            # surrounding text into a later kind's marker on
+            # pathological inputs and diverge. Literal "[KIND]" strings
+            # already present in the source count as redactions; a
+            # redaction-counter cannot distinguish them by design.
             total = F.lit(0)
             for k in KINDS:
                 if k in kinds:
                     marker = f"[{k.upper()}]"
                     n = (
-                        F.length(marker_stripped)
+                        F.length(F.col(out_col))
                         - F.length(
                             F.replace(
-                                marker_stripped,
+                                F.col(out_col),
                                 F.lit(marker),
                                 F.lit(""),
                             )
                         )
                     ) / len(marker)
                     total = total + n
-                    marker_stripped = F.replace(
-                        marker_stripped, F.lit(marker), F.lit("")
-                    )
             res = res.withColumn(
                 count_column,
                 F.when(

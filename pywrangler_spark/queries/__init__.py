@@ -45,38 +45,34 @@ from pywrangler_spark.queries import text as _text  # noqa: E402,F401
 # representative per verified family, then the redundant TPC-H variants
 # (mutually similar star-join/agg shapes) last.
 _PRIORITY = [
-    # new in round 4 — need a first driver row
-    "redact_pii_docs", "dedup_incremental_bloom_docs",
-    # stalest: last driver-green in round 1 (CORRECTNESS_r01), two
-    # rounds of code churn ago — the driver must re-own the signal
-    "q10_returned_items", "q12_late_shipments", "q13_order_distribution",
-    "q14_promo_revenue", "q15_top_supplier", "q16_supplier_diversity",
-    "q17_small_quantity_revenue", "q18_large_orders",
-    "q19_discounted_revenue", "q21_waiting_supplier",
-    "q22_dormant_balances", "distinct_counts", "rollup_pricing",
-    "cube_quantities", "pivot_status_revenue", "groupingsets_order_revenue",
-    "quantiles_prices", "setops_building_big_spenders",
-    "argmax_order_per_priority", "unpivot_lineitem_measures",
-    "topk_expensive_orders", "top3_orders_per_customer",
-    "multimodal_blob_stats",
-    # round-2 rows (CORRECTNESS_r02), complex multi-exchange shapes
-    # first — fill the remainder of the driver's 50-query window
-    "dedup_minhash_lsh", "dedup_span_mask", "decontaminate_docs",
-    "corpus_clean_pipeline", "lm_score_docs", "user_value_trend",
-    "asof_click_attribution", "rangejoin_click_windows",
-    "scd2_user_history", "cdc_upsert_events", "twa_user_value",
-    "rolling_7d_user_value", "ffill_user_values", "window_rank_suite",
-    "sessionize_gap_1d", "resample_hourly_locf", "ohlc_hourly_by_type",
-    "hopping_hourly_30m", "funnel_view_click_purchase",
-    "cohort_weekly_retention", "journey_prefix_counts",
-    "zscore_anomaly_events", "ann_topk_bruteforce", "ann_topk_lsh",
-    "ann_topk_ivf", "ann_topk_int8", "bm25_search_docs",
-    "embedding_neardup_pairs", "embedding_label_centroids",
+    # round-4 rewrites whose plans changed (81dd4c3, e6cd13b) AFTER
+    # their last driver row — the driver must re-own the signal first
+    "interval_last_first", "interval_first_first", "interval_first_last",
+    "interval_last_last", "interval_identical_markers", "interval_raw_ids",
+    "interval_valid_ids", "interval_global_timeline",
+    "ann_topk_pq", "ann_topk_ivfpq", "dedup_simhash_near",
+    "semantic_dedup_embeddings", "embedding_neardup_pairs",
+    "docvec_ann_lsh", "docvec_neardup_pairs",
+    # stalest remaining: last driver-green in round 2
+    # (CORRECTNESS_r02) — after round 5 those rows would be three
+    # rounds old, so all of them ride this round's window
+    "ann_topk_int8", "bm25_search_docs", "embedding_label_centroids",
     "stratified_sample_docs", "hash_split_docs", "cap_docs_per_source",
     "quality_gate_docs", "vocab_top_terms", "repetition_quality_docs",
-    "lang_id", "text_stats", "chunk_docs_by_tokens",
-    # round-3-verified names follow in module order — freshest rows,
-    # so they sit past the window by design
+    "lang_id", "text_stats", "chunk_docs_by_tokens", "shard_docs",
+    "heavy_hitter_terms", "approx_quantiles_prices", "timebucket_hourly",
+    "intervaljoin_error_shadow", "latest_event_per_user",
+    "changelog_compress_events", "json_props_by_type",
+    "variant_props_by_type", "chunk_documents_200", "pack_docs_512",
+    "source_mix_weights",
+    # backfill: oldest round-3 rows, shared-code families first
+    "dedup_simhash", "dedup_clusters_jaccard", "dedup_exact_rows",
+    "dedup_ngram_jaccard", "dedup_incremental_docs",
+    "classifier_quality_gate", "mix_docs_to_budget",
+    "session_features_events", "multimodal_features", "bpe_token_stats",
+    "dedup_span_excise",
+    # round-3/round-4-verified names follow in module order — freshest
+    # rows, so they sit past the window by design
 ]
 
 
