@@ -9,27 +9,34 @@ produces the same ids with bounded parallelism:
 1. **Range partition + local sort** on the order columns (one shuffle —
    the same cost the grouped operator pays), cache.
 2. **Pass A** (per-partition aggregate): each partition's first/last
-   denoised marker. Driver prefix/suffix-scans the N-row summary →
-   every partition learns the marker adjacent to each of its edges, so
-   run-collapse (the ``*_use_first`` dedup) is decided locally even for
-   runs that span partitions.
+   denoised marker. The N-row summary (N = shuffle partitions) is
+   prefix/suffix-scanned with single-partition window functions and
+   broadcast-joined back, so every partition learns the marker adjacent
+   to each of its edges and run-collapse (the ``*_use_first`` dedup) is
+   decided locally even for runs that span partitions.
 3. **Pass B** (local windows keyed by partition id): kept markers +
    local fills; per-partition kept summary (first/last kept marker,
    resolved valid-open count, trailing-open flag, kept-start/end sums).
-   Driver resolves trailing opens against the next partition's first
-   kept marker and prefix-sums the id offsets.
+   The same summary-window + broadcast-join shape resolves trailing
+   opens against the next partition's first kept marker and prefix-sums
+   the id offsets.
 4. **Pass C** (local windows again, over the cached Pass-B frame):
    final labels = local result + broadcast per-partition offsets.
 
-All heavy work happens in partition-local windows; the driver only ever
-touches N-row summaries (N = shuffle partitions). Semantics are
+All heavy work happens in partition-local windows. The cross-partition
+stitching runs as window functions over the N-row summaries inside the
+SAME lazy plan (single-partition windows over kilobytes, then broadcast
+hash joins back to the data) — the operator issues NO eager driver
+actions and the driver never materializes row-scale data. Semantics are
 identical to the base operator — property-checked against it on random
 streams for every config.
 
 Determinism requires the order columns to be a total order (ties across
 a partition boundary would make range partitioning ambiguous) — same
 contract as the base operator, stated loudly here because there is no
-group key to hide behind.
+group key to hide behind. (Reference parity: semantics of
+``src/pywrangler/pyspark/wranglers/interval_identifier.py`` with
+``groupby_columns=None``; the physical strategy is original.)
 """
 
 from __future__ import annotations
@@ -45,7 +52,6 @@ from pywrangler_spark.operators.interval_identifier import (
     NO_END_MARKER,
     IntervalIdentifier,
 )
-from pywrangler_spark.util import ensure_iterable
 
 
 def identify_intervals_global(
@@ -94,7 +100,9 @@ def identify_intervals_global(
     ]
 
     if base._identical_markers:
-        # cumsum of start flags: local cumsum + per-partition prefix offset
+        # cumsum of start flags: local cumsum + per-partition prefix
+        # offset (exclusive prefix sum over the N-row summary, joined
+        # back by partition id — all inside one lazy plan)
         part = (
             df.repartitionByRange(n_parts, *sort_cols)
             .sortWithinPartitions(*sort_cols)
@@ -104,18 +112,22 @@ def identify_intervals_global(
         part = part.withColumn(
             "_bs", marker.eqNullSafe(F.lit(marker_start)).cast("long")
         )
-        sums = {
-            r._pid: r.s
-            for r in part.groupBy("_pid").agg(F.sum("_bs").alias("s")).collect()
-        }
-        offsets = _prefix_sums(sums, n_parts)
+        summary = part.groupBy("_pid").agg(F.sum("_bs").alias("_s"))
+        offsets = summary.select(
+            "_pid",
+            F.coalesce(
+                F.sum("_s").over(_w_pid_before()), F.lit(0)
+            ).alias("_off"),
+        )
+        joined = part.join(F.broadcast(offsets), "_pid", "left")
         w_run = Window.partitionBy("_pid").orderBy(*sort_cols).rowsBetween(
             Window.unboundedPreceding, Window.currentRow
         )
-        off = _pid_map_column(offsets)
-        return part.select(
+        return joined.select(
             *df.columns,
-            (F.sum("_bs").over(w_run) + off).alias(target_column_name),
+            (F.sum("_bs").over(w_run) + F.col("_off")).alias(
+                target_column_name
+            ),
         )
 
     marker = F.col(marker_column)
@@ -129,6 +141,10 @@ def identify_intervals_global(
         df.repartitionByRange(n_parts, *sort_cols)
         .sortWithinPartitions(*sort_cols)
         .withColumn("_pid", F.spark_partition_id())
+        # partition-local monotone row tag: lets the per-partition
+        # summaries find first/last rows with min_by/max_by straight off
+        # the cached scan, no row_number window (and no extra exchange)
+        .withColumn("_mid", F.monotonically_increasing_id())
         .withColumn("_m", denoised)
     )
     sort_cols_desc = [
@@ -136,32 +152,28 @@ def identify_intervals_global(
         for c, a in zip(orderby, asc)
     ]
     part = part.persist()
-    try:
-        return _general_path(
-            part, df.columns, base, sort_cols, sort_cols_desc, n_parts,
-            target_column_name,
-        )
-    finally:
-        # plan is built; actual unpersist is the caller's choice — keep
-        # cached so the returned DataFrame's two remaining passes reuse it
-        pass
+    return _general_path(
+        part, df.columns, base, sort_cols, sort_cols_desc,
+        target_column_name,
+    )
 
 
-def _prefix_sums(per_pid: dict, n: int) -> List[int]:
-    out, acc = [], 0
-    for pid in range(n):
-        out.append(acc)
-        acc += int(per_pid.get(pid, 0) or 0)
-    return out
+def _w_pid_before() -> Window:
+    """Exclusive-prefix frame over the per-partition summary, ordered by
+    partition id. Single-partition window — the summary is N rows
+    (N = shuffle partitions), kilobytes by construction."""
+    return Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
 
 
-def _pid_map_column(values: List) -> Column:
-    """values[pid] as a column expression (CASE chain over the small,
-    driver-known partition count)."""
-    expr = F.lit(values[0] if values else 0)
-    for pid, v in enumerate(values):
-        expr = F.when(F.col("_pid") == pid, F.lit(v)).otherwise(expr)
-    return expr
+def _w_pid_after() -> Window:
+    """Mirror of :func:`_w_pid_before` in descending pid order: with
+    ``last(..., ignorenulls=True)`` this reads "nearest following
+    partition with a non-null value"."""
+    return Window.orderBy(F.col("_pid").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
 
 
 def _general_path(
@@ -170,7 +182,6 @@ def _general_path(
     base: IntervalIdentifier,
     sort_cols: List[Column],
     sort_cols_desc: List[Column],
-    n_parts: int,
     out: str,
 ) -> DataFrame:
     w = Window.partitionBy("_pid").orderBy(*sort_cols)
@@ -185,42 +196,36 @@ def _general_path(
     )
 
     # ---- pass A: marker boundary summary -------------------------------
-    rn = F.row_number().over(w)
-    with_rn = part.withColumn("_rn", rn)
-    summary_a = (
-        with_rn.filter(F.col("_m").isNotNull())
-        .groupBy("_pid")
-        .agg(
-            F.min_by("_m", "_rn").alias("first_m"),
-            F.max_by("_m", "_rn").alias("last_m"),
-        )
-        .collect()
+    # min_by/max_by ignore rows whose ordering expression is null, so
+    # marker-less partitions still get a summary row (null first/last) —
+    # the ignorenulls prefix fills below then carry neighbours straight
+    # through them, exactly like a driver-side scan would.
+    m = F.col("_m")
+    summary_a = part.groupBy("_pid").agg(
+        F.min_by("_m", F.when(m.isNotNull(), F.col("_mid"))).alias("_fm"),
+        F.max_by("_m", F.when(m.isNotNull(), F.col("_mid"))).alias("_lm"),
     )
-    first_m = {r._pid: r.first_m for r in summary_a}
-    last_m = {r._pid: r.last_m for r in summary_a}
-    before_m, after_m = [None] * n_parts, [None] * n_parts
-    run = None
-    for pid in range(n_parts):
-        before_m[pid] = run
-        if pid in last_m:
-            run = last_m[pid]
-    run = None
-    for pid in range(n_parts - 1, -1, -1):
-        after_m[pid] = run
-        if pid in first_m:
-            run = first_m[pid]
+    fills_a = summary_a.select(
+        "_pid",
+        F.last("_lm", ignorenulls=True).over(_w_pid_before()).alias(
+            "_before_m"
+        ),
+        F.last("_fm", ignorenulls=True).over(_w_pid_after()).alias(
+            "_after_m"
+        ),
+    )
 
     # ---- pass B: kept markers + kept summary ---------------------------
-    m = F.col("_m")
+    s2 = part.join(F.broadcast(fills_a), "_pid", "left")
     prev_m = F.coalesce(
         F.last(m, ignorenulls=True).over(w_before),
-        _pid_map_column(before_m).cast("int"),
+        F.col("_before_m").cast("int"),
     )
     next_m = F.coalesce(
         F.last(m, ignorenulls=True).over(w_after),
-        _pid_map_column(after_m).cast("int"),
+        F.col("_after_m").cast("int"),
     )
-    s2 = part.select("*", prev_m.alias("_pm"), next_m.alias("_nm"))
+    s2 = s2.select("*", prev_m.alias("_pm"), next_m.alias("_nm"))
 
     def _kept(code: int, use_first: bool) -> Column:
         neighbour = F.col("_pm") if use_first else F.col("_nm")
@@ -234,26 +239,25 @@ def _general_path(
         .cast("int")
     )
     s3 = s2.select(
-        "*",
+        *original, "_pid", "_mid",
         kept_start.cast("long").alias("_bs"),
         kept_end.cast("long").alias("_be"),
         km.alias("_km"),
     ).persist()
 
     kmc = F.col("_km")
-    with_krn = s3.withColumn("_krn", F.row_number().over(w))
     # next kept marker within the partition (local)
     local_next_k = F.last(kmc, ignorenulls=True).over(w_after)
     summary_b = (
-        with_krn.withColumn("_nk", local_next_k)
+        s3.withColumn("_nk", local_next_k)
         .groupBy("_pid")
         .agg(
             F.min_by(
-                "_km", F.when(kmc.isNotNull(), F.col("_krn"))
-            ).alias("first_km"),
+                "_km", F.when(kmc.isNotNull(), F.col("_mid"))
+            ).alias("_fk"),
             F.max_by(
-                "_km", F.when(kmc.isNotNull(), F.col("_krn"))
-            ).alias("last_km"),
+                "_km", F.when(kmc.isNotNull(), F.col("_mid"))
+            ).alias("_lk"),
             # opens resolved inside the partition: kept S followed
             # (locally) by a kept E
             F.sum(
@@ -261,90 +265,92 @@ def _general_path(
                     kmc.eqNullSafe(F.lit(_START))
                     & F.col("_nk").eqNullSafe(F.lit(_END))
                 ).cast("long")
-            ).alias("n_resolved"),
+            ).alias("_n_resolved"),
             # trailing open: kept S with no kept marker after it locally
+            # (kept markers alternate, so this is 0 or 1)
             F.sum(
                 (
                     kmc.eqNullSafe(F.lit(_START)) & F.col("_nk").isNull()
                 ).cast("long")
-            ).alias("trailing_open"),
-            F.sum("_bs").alias("bs_sum"),
-            F.sum("_be").alias("be_sum"),
-            F.max_by(
-                "_be", F.col("_krn")
-            ).alias("last_be"),
+            ).alias("_trailing_open"),
+            F.sum("_bs").alias("_bs_sum"),
+            F.sum("_be").alias("_be_sum"),
+            F.max_by("_be", F.col("_mid")).alias("_last_be"),
         )
-        .collect()
     )
-    info = {r._pid: r for r in summary_b}
-    first_km = {p: r.first_km for p, r in info.items() if r.first_km is not None}
-    last_km = {p: r.last_km for p, r in info.items() if r.last_km is not None}
-    before_k, after_k = [None] * n_parts, [None] * n_parts
-    run = None
-    for pid in range(n_parts):
-        before_k[pid] = run
-        if pid in last_km:
-            run = last_km[pid]
-    run = None
-    for pid in range(n_parts - 1, -1, -1):
-        after_k[pid] = run
-        if pid in first_km:
-            run = first_km[pid]
 
-    # resolve trailing opens + prefix offsets
-    n_valid = {}
-    raw_units = {}
-    for pid in range(n_parts):
-        r = info.get(pid)
-        if r is None:
-            n_valid[pid] = 0
-            raw_units[pid] = 0
-            continue
-        n = int(r.n_resolved or 0)
-        if int(r.trailing_open or 0) and after_k[pid] == _END:
-            n += 1
-        n_valid[pid] = n
-        raw_units[pid] = int(r.bs_sum or 0) + int(r.be_sum or 0)
-    enum_offsets = _prefix_sums(n_valid, n_parts)
-    # boundary be shifting: the first row of partition p receives
-    # lag(be) from the last row of the previous non-empty partition
-    # (a virtual end = 1 before the very first row, matching the base
-    # operator's lag default)
-    prev_last_be = [0] * n_parts
-    run_be = 1
-    for pid in range(n_parts):
-        prev_last_be[pid] = run_be
-        r = info.get(pid)  # groupBy only yields non-empty partitions
-        if r is not None:
-            run_be = int(r.last_be or 0)
-    # raw id = cumsum of (bs + be_lag). Partition q contributes
-    # bs_sum[q] + prev_last_be[q] + (be_sum[q] - last_be[q]); the
-    # prev/last be terms telescope across non-empty partitions to
-    # 1 - prev_last_be[p], giving:
-    units_prefix = _prefix_sums(raw_units, n_parts)
-    raw_offsets = [
-        units_prefix[pid] + 1 - prev_last_be[pid] for pid in range(n_parts)
-    ]
+    # Cross-partition stitching over the N-row kept summary — the same
+    # prefix/suffix scans the driver used to run, as window columns:
+    #   _before_k / _after_k : kept marker adjacent to each edge
+    #   _prev_last_be        : _be of the previous non-empty partition's
+    #                          last row (virtual end = 1 before row one,
+    #                          matching the base operator's lag default)
+    #   _enum_off            : exclusive prefix sum of per-partition
+    #                          valid-interval counts (locally-resolved
+    #                          opens + a trailing open whose matching E
+    #                          is the next kept marker downstream)
+    #   _raw_off             : raw id = cumsum of (bs + be_lag); the
+    #                          boundary be terms telescope across
+    #                          non-empty partitions to
+    #                          1 - _prev_last_be, giving
+    #                          prefix(bs_sum + be_sum) + 1 - _prev_last_be
+    after_k = F.last("_fk", ignorenulls=True).over(_w_pid_after())
+    n_valid = F.col("_n_resolved") + (
+        (F.col("_trailing_open") > 0) & F.col("_after_k").eqNullSafe(
+            F.lit(_END)
+        )
+    ).cast("long")
+    fills_b = (
+        summary_b.select(
+            "_pid", "_n_resolved", "_trailing_open", "_bs_sum", "_be_sum",
+            F.last("_lk", ignorenulls=True).over(_w_pid_before()).alias(
+                "_before_k"
+            ),
+            after_k.alias("_after_k"),
+            F.lag("_last_be", 1, 1).over(Window.orderBy("_pid")).alias(
+                "_prev_last_be"
+            ),
+        )
+        .select(
+            "_pid", "_before_k", "_after_k", "_prev_last_be",
+            n_valid.alias("_n_valid"),
+            (F.col("_bs_sum") + F.col("_be_sum")).alias("_units"),
+        )
+        .select(
+            "_pid", "_before_k", "_after_k", "_prev_last_be",
+            F.coalesce(
+                F.sum("_n_valid").over(_w_pid_before()), F.lit(0)
+            ).alias("_enum_off"),
+            (
+                F.coalesce(
+                    F.sum("_units").over(_w_pid_before()), F.lit(0)
+                )
+                + 1
+                - F.col("_prev_last_be")
+            ).alias("_raw_off"),
+        )
+    )
 
     # ---- pass C: final labels ------------------------------------------
+    s4 = s3.join(F.broadcast(fills_b), "_pid", "left")
     a_col = F.coalesce(
         F.last(kmc, ignorenulls=True).over(
             w.rowsBetween(Window.unboundedPreceding, 0)
         ),
-        _pid_map_column(before_k).cast("int"),
+        F.col("_before_k").cast("int"),
     )
     prev_k = F.coalesce(
         F.last(kmc, ignorenulls=True).over(w_before),
-        _pid_map_column(before_k).cast("int"),
+        F.col("_before_k").cast("int"),
     )
     next_k = F.coalesce(
         F.last(kmc, ignorenulls=True).over(w_after),
-        _pid_map_column(after_k).cast("int"),
+        F.col("_after_k").cast("int"),
     )
     be_lag = F.coalesce(
-        F.lag("_be", 1).over(w), _pid_map_column(prev_last_be).cast("long")
+        F.lag("_be", 1).over(w), F.col("_prev_last_be").cast("long")
     )
-    s4 = s3.select(
+    s4 = s4.select(
         "*",
         a_col.alias("_a"),
         prev_k.alias("_prev"),
@@ -358,20 +364,21 @@ def _general_path(
         F.col("_a").eqNullSafe(F.lit(_END))
         & F.col("_prev").eqNullSafe(F.lit(_START))
     )
-    enum_off = _pid_map_column(enum_offsets)
-    raw_off = _pid_map_column(raw_offsets)
 
     if base.result_type == "raw":
-        iid = F.sum(F.col("_bs") + F.col("_be_lag")).over(w_run) + raw_off
+        iid = F.sum(F.col("_bs") + F.col("_be_lag")).over(w_run) + F.col(
+            "_raw_off"
+        )
         return s4.select(*original, iid.alias(out))
     if base.result_type == "valid":
-        raw = F.sum(F.col("_bs") + F.col("_be_lag")).over(w_run) + raw_off
+        raw = F.sum(F.col("_bs") + F.col("_be_lag")).over(w_run) + F.col(
+            "_raw_off"
+        )
         return s4.select(
             *original, F.when(valid, raw).otherwise(F.lit(0)).alias(out)
         )
     opens_valid = (F.col("_bs") == 1) & valid
-    enum = F.sum(opens_valid.cast("long")).over(w_run) + enum_off
+    enum = F.sum(opens_valid.cast("long")).over(w_run) + F.col("_enum_off")
     return s4.select(
         *original, F.when(valid, enum).otherwise(F.lit(0)).alias(out)
     )
-
