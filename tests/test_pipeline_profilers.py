@@ -212,3 +212,60 @@ class TestProfilers:
         prof = MemoryProfiler(allocate, runs=2, interval=interval).profile()
         rep = prof.report()
         assert rep["max_increase_bytes"] > 32 * 1024 * 1024
+
+
+class TestExecutorMemoryProfiler:
+    def test_requires_live_ui(self, spark):
+        from pywrangler_spark.benchmark import SparkExecutorMemoryProfiler
+
+        # the shared test session runs with spark.ui.enabled=false
+        with pytest.raises(RuntimeError, match="spark.ui.enabled"):
+            SparkExecutorMemoryProfiler(spark, lambda: None)
+
+    def test_peak_execution_memory_on_shuffle(self):
+        """Executor-metrics tier end-to-end: needs its own UI-enabled
+        SparkContext (a static conf), so it runs in a subprocess."""
+        import json
+        import subprocess
+        import sys
+
+        code = """
+import json, sys
+sys.path.insert(0, %r)
+from pywrangler_spark.session import get_spark
+from pywrangler_spark.benchmark import SparkExecutorMemoryProfiler
+
+spark = get_spark(
+    "exec-mem-test", master="local[4]", shuffle_partitions=4,
+    extra_conf={"spark.ui.enabled": "true", "spark.ui.port": "4789"},
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+def shuffle_heavy():
+    (spark.range(0, 2_000_000)
+        .selectExpr("cast(id as string) as s", "id %% 13 as k")
+        .orderBy("s")
+        .write.format("noop").mode("overwrite").save())
+
+prof = SparkExecutorMemoryProfiler(spark, shuffle_heavy, runs=1).profile()
+rep = prof.report()
+rep["executor_ids"] = [e["id"] for e in rep.pop("executor_peaks")]
+print("RESULT:" + json.dumps(rep))
+"""
+        import os
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        out = subprocess.run(
+            [sys.executable, "-c", code % repo],
+            capture_output=True,
+            text=True,
+            timeout=180,
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("RESULT:")]
+        assert line, out.stdout[-2000:] + out.stderr[-2000:]
+        rep = json.loads(line[0][len("RESULT:"):])
+        # a 2M-row global sort must register unsafe execution memory on
+        # its stages, and the range partitioner must have shuffled bytes
+        assert rep["peak_execution_memory"] > 8 * 1024 * 1024, rep
+        assert rep["shuffle_write_bytes"] > 0, rep
+        assert rep["executor_ids"] == ["driver"]  # local mode
