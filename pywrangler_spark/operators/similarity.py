@@ -106,6 +106,86 @@ def _lsh_bucket(vec_column: str, planes: Sequence[Sequence[float]]) -> Column:
     return F.expr("cast((" + " + ".join(terms) + ") as int)")
 
 
+def suggest_ann_params(n_rows: int, base_rows: int = 2000) -> dict:
+    """Capacity schedule for the approximate tiers as the corpus grows
+    past the driver-scale defaults (16 cells / probe 4 / 4 tables /
+    no rerank, validated at ~2k vectors).
+
+    Measured rationale (``scripts/recall_probe.py``, SCALE.md recall
+    table): with hyperparameters FROZEN at the driver-scale defaults, a
+    10x distinct-vector corpus drops PQ recall@10 from 0.64 to ~0.55
+    and IVF-PQ to ~0.39 — below their gates. The levers that restore
+    it, per family:
+
+    - **IVF / IVF-PQ cells**: ``n_centroids ~ sqrt(n)`` (the standard
+      IVF sizing) with the probe *fraction* held at 1/4, so candidate
+      work stays ~corpus/4 while cells stay balanced;
+    - **LSH tables**: +1 table per decade (recall lever is any-table
+      collision);
+    - **PQ / IVF-PQ rerank**: exact re-scoring of the top ``k*rerank``
+      ADC candidates (output-sized — the cheap fix for quantization
+      ranking noise, which is PQ's dominant failure mode among 10x the
+      distractors); doubles per decade, capped at 16.
+    """
+    import math
+
+    n_rows = max(int(n_rows), 1)
+    decades = max(0.0, math.log10(n_rows / float(base_rows)))
+    n_centroids = max(16, int(round(math.sqrt(n_rows))))
+    return {
+        "n_centroids": n_centroids,
+        "n_probe": max(4, n_centroids // 4),
+        "n_tables": 4 + int(round(decades)),
+        "rerank": min(16, 2 ** int(round(decades))),
+    }
+
+
+def _exact_rerank(
+    df: DataFrame,
+    cand: DataFrame,
+    id_column: str,
+    vector_column: str,
+    k: int,
+    query_filter: Optional[Column],
+    score_alias: str,
+) -> DataFrame:
+    """FAISS-style refine stage: exactly re-score an approximate
+    candidate list (``query_id, neighbor_id``) and keep the true top-k.
+
+    The candidate set is output-sized (queries x k x rerank), so it
+    BROADCASTS against the corpus scan — one BHJ picks up the raw
+    neighbor vectors, a second broadcast joins the (small) query
+    vectors, and the exact cosine uses the same f64 op order as
+    :func:`topk_cosine`. The final window shuffles only the candidate
+    rows."""
+    base = _normed_vectors(df, id_column, vector_column)
+    queries = _normed_vectors(
+        df if query_filter is None else df.filter(query_filter),
+        id_column, vector_column, "_qid", "_qv", "_qn",
+    )
+    picked = base.join(
+        F.broadcast(cand.select("query_id", "neighbor_id")),
+        base["_id"] == F.col("neighbor_id"),
+    )
+    paired = picked.join(
+        F.broadcast(queries), F.col("query_id") == F.col("_qid")
+    )
+    scored = paired.select(
+        "query_id",
+        "neighbor_id",
+        _cosine(
+            F.col("_qv"), F.col("_bv"), F.col("_qn"), F.col("_bn")
+        ).alias(score_alias),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col(score_alias).desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def topk_cosine(
     id_column: str,
     vector_column: str,
@@ -645,9 +725,17 @@ def topk_cosine_pq(
     query_filter: Optional[Column] = None,
     codebooks: Optional[np.ndarray] = None,
     allow_full_collect: bool = False,
+    rerank: int = 1,
 ) -> Callable[[DataFrame], DataFrame]:
     """Approximate top-k cosine neighbours via product quantization with
     asymmetric distance computation (ADC), the FAISS-PQ scale path.
+
+    ``rerank > 1`` adds the FAISS refine stage: the top ``k*rerank``
+    ADC candidates are exactly re-scored against the raw vectors
+    (output-sized broadcast join) and the true top-k kept — the
+    standard counter to quantization ranking noise as the corpus grows
+    (see :func:`suggest_ann_params`). With rerank, ``cosine_pq`` holds
+    the EXACT cosine of the refined candidates.
 
     - the corpus is encoded once into ``m``-byte codes (scan-side UDF,
       no shuffle) — the memory-bound win;
@@ -754,9 +842,15 @@ def topk_cosine_pq(
         w = Window.partitionBy("query_id").orderBy(
             F.col("cosine_pq").desc(), F.col("neighbor_id").asc()
         )
-        return (
+        topn = (
             out.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
+            .filter(F.col("rank") <= k * rerank)
+        )
+        if rerank <= 1:
+            return topn
+        return _exact_rerank(
+            df, topn, id_column, vector_column, k, query_filter,
+            "cosine_pq",
         )
 
     return _transform
@@ -775,10 +869,12 @@ def topk_cosine_ivfpq(
     centroids: Optional[np.ndarray] = None,
     codebooks: Optional[np.ndarray] = None,
     allow_full_collect: bool = False,
+    rerank: int = 1,
 ) -> Callable[[DataFrame], DataFrame]:
     """IVF-PQ: k-means cells prune candidates (compute), PQ codes +
     asymmetric distance score them (memory) — the canonical FAISS
-    serving composition for billion-vector corpora.
+    serving composition for billion-vector corpora. ``rerank > 1``
+    adds the exact refine stage (see :func:`topk_cosine_pq`).
 
     - corpus rows carry ``(cell, m-byte codes)`` — the inverted lists
       hold 16-byte entries, not 256-byte vectors;
@@ -895,9 +991,15 @@ def topk_cosine_ivfpq(
         w = Window.partitionBy("query_id").orderBy(
             F.col("cosine_pq").desc(), F.col("neighbor_id").asc()
         )
-        return (
+        topn = (
             scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
+            .filter(F.col("rank") <= k * rerank)
+        )
+        if rerank <= 1:
+            return topn
+        return _exact_rerank(
+            df, topn, id_column, vector_column, k, query_filter,
+            "cosine_pq",
         )
 
     return _transform

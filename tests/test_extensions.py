@@ -737,3 +737,80 @@ class TestIncrementalDedup:
 
         with _pytest.raises(ValueError, match="fpp"):
             build_fingerprint_bloom(docs, fpp=1.5)
+
+
+class TestRerankRefine:
+    def test_pq_rerank_improves_recall(self, spark, embeddings):
+        """The refine stage must strictly help: rerank=4 re-scores the
+        top-40 ADC candidates exactly, so its top-10 is at least as
+        close to the exact tier as the unrefined ranking."""
+        from pywrangler_spark.operators.similarity import topk_cosine_pq
+
+        qf = F.col("vec_id") % 25 == 0
+        exact = topk_cosine("vec_id", "embedding", k=10, query_filter=qf)(
+            embeddings
+        )
+        base = topk_cosine_pq(
+            "vec_id", "embedding", k=10, m=16, codebook_k=64,
+            query_filter=qf,
+        )(embeddings)
+        refined = topk_cosine_pq(
+            "vec_id", "embedding", k=10, m=16, codebook_k=64,
+            query_filter=qf, rerank=4,
+        )(embeddings)
+        e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+        b = {(r.query_id, r.neighbor_id) for r in base.collect()}
+        r = {(r.query_id, r.neighbor_id) for r in refined.collect()}
+        assert len(e & r) >= len(e & b)
+        assert len(e & r) / len(e) >= 0.6
+
+    def test_rerank_contract(self, spark, embeddings):
+        """Refined output keeps the (query_id, neighbor_id, cosine_pq,
+        rank) schema, k rows per query, ranks 1..k, scores equal to the
+        exact tier's cosine for shared pairs."""
+        from pywrangler_spark.operators.similarity import (
+            topk_cosine_ivfpq,
+        )
+
+        qf = F.col("vec_id") % 40 == 0
+        out = topk_cosine_ivfpq(
+            "vec_id", "embedding", k=5, n_centroids=8, n_probe=3,
+            m=16, codebook_k=64, query_filter=qf, rerank=3,
+        )(embeddings)
+        rows = out.collect()
+        assert set(out.columns) == {
+            "query_id", "neighbor_id", "cosine_pq", "rank"
+        }
+        per_q = {}
+        for r in rows:
+            per_q.setdefault(r.query_id, []).append(r.rank)
+        for q, ranks in per_q.items():
+            assert sorted(ranks) == list(range(1, len(ranks) + 1)), q
+            assert len(ranks) <= 5
+        exact = topk_cosine(
+            "vec_id", "embedding", k=50, query_filter=qf
+        )(embeddings)
+        truth = {
+            (r.query_id, r.neighbor_id): r.cosine for r in exact.collect()
+        }
+        for r in rows:
+            key = (r.query_id, r.neighbor_id)
+            if key in truth:  # rerank scores ARE exact cosines
+                assert abs(r.cosine_pq - truth[key]) < 1e-9, key
+
+    def test_suggest_ann_params_schedule(self):
+        from pywrangler_spark.operators.similarity import (
+            suggest_ann_params,
+        )
+
+        small = suggest_ann_params(2000)
+        assert small == {
+            "n_centroids": 45, "n_probe": 11, "n_tables": 4, "rerank": 1
+        }
+        ten_x = suggest_ann_params(20000)
+        assert ten_x["n_centroids"] == 141 and ten_x["rerank"] == 2
+        assert ten_x["n_tables"] == 5
+        # monotone in corpus size, capped rerank
+        big = suggest_ann_params(2_000_000_000)
+        assert big["rerank"] == 16
+        assert big["n_centroids"] >= ten_x["n_centroids"]
