@@ -12,6 +12,10 @@ from pywrangler_spark.streaming.dedup import (
     stream_dedup_incremental,
 )
 from pywrangler_spark.streaming.interval import stream_identify_intervals
+from pywrangler_spark.streaming.neardup import (
+    stream_neardup_minhash,
+    stream_signatures,
+)
 from pywrangler_spark.streaming.join import stream_interval_join
 from pywrangler_spark.streaming.lmscore import stream_lm_score
 from pywrangler_spark.streaming.sink import idempotent_parquet_sink
@@ -24,6 +28,8 @@ __all__ = [
     "stream_time_bucket_rollup",
     "stream_dedup_exact",
     "stream_dedup_incremental",
+    "stream_neardup_minhash",
+    "stream_signatures",
     "stream_interval_join",
     "stream_window_cardinality",
     "stream_contamination_flag",

@@ -796,3 +796,76 @@ class TestStreamingIncrementalDedup:
         )
         with pytest.raises(ValueError, match="static"):
             stream_dedup_incremental(sdf, "text", "ts")
+
+
+class TestStreamingNearDup:
+    @pytest.fixture(scope="class")
+    def neardup_stream(self, spark, tmp_path_factory):
+        """Docs + planted near-dups, split into two micro-batch files so
+        cross-batch pairs (bucket state) are exercised, not just
+        within-batch ones."""
+        base = str(tmp_path_factory.mktemp("neardup_stream"))
+        docs = read_parquet(spark, f"{SF}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        planted = docs.filter(F.col("doc_id") < 30).withColumn(
+            "doc_id", F.col("doc_id") + 10_000
+        )
+        full = docs.unionByName(planted)
+        files_dir = os.path.join(base, "files")
+        os.makedirs(files_dir)
+        # batch 0: originals; batch 1: the planted copies
+        for n, part in enumerate(
+            (docs, planted)
+        ):
+            tmp = os.path.join(base, f"b{n}")
+            part.coalesce(1).write.parquet(tmp)
+            for name in sorted(os.listdir(tmp)):
+                if name.endswith(".parquet"):
+                    dest = os.path.join(files_dir, f"{n:03d}.parquet")
+                    shutil.copy(os.path.join(tmp, name), dest)
+                    os.utime(dest, (1_700_000_000 + n * 60,) * 2)
+        return files_dir, full
+
+    def test_pairs_match_batch(self, spark, neardup_stream):
+        from pywrangler_spark.operators.dedup import MinHashLSHPairs
+        from pywrangler_spark.streaming import stream_neardup_minhash
+
+        files_dir, full = neardup_stream
+        op = MinHashLSHPairs("doc_id", "text")
+        batch = {
+            (r.id_a, r.id_b): r.sig_similarity
+            for r in full.transform(op).collect()
+        }
+        op.release()
+        streamed_df = _run_stream(
+            spark,
+            stream_neardup_minhash("doc_id", "text"),
+            files_dir,
+            "doc_id long, text string",
+            "neardup_sink",
+        )
+        # one pair may surface from several band buckets (documented);
+        # uniqueness is the consumer's dropDuplicates / idempotent sink
+        streamed = {
+            (r.id_a, r.id_b): r.sig_similarity
+            for r in streamed_df.dropDuplicates(["id_a", "id_b"]).collect()
+        }
+        assert streamed == batch
+        # the planted copies must actually have produced pairs
+        assert any(b >= 10_000 for _, b in streamed)
+
+    def test_rejects_batch_frame(self, spark):
+        from pywrangler_spark.streaming import stream_neardup_minhash
+
+        docs = read_parquet(spark, f"{SF}/documents.parquet")
+        with pytest.raises(ValueError, match="streaming"):
+            docs.transform(stream_neardup_minhash("doc_id", "text"))
+
+    def test_validation(self):
+        from pywrangler_spark.streaming import stream_neardup_minhash
+
+        with pytest.raises(ValueError, match="divisible"):
+            stream_neardup_minhash("id", "text", num_hashes=10, bands=4)
+        with pytest.raises(ValueError, match="max_bucket_size"):
+            stream_neardup_minhash("id", "text", max_bucket_size=1)
