@@ -211,6 +211,41 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_row(emb, approx, floor=0.6)
 
 
+@register("ann_topk_pq_rerank", oracle=_RECALL_ORACLE)
+def ann_topk_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ + exact-rerank recall gate: the FAISS refine stage (re-score
+    the top k*2 ADC candidates exactly, keep the true top-k) must lift
+    recall above a HIGHER floor than unrefined PQ clears — 0.7 vs the
+    0.6 base gate (measured 0.73 at a 10x distinct-vector corpus where
+    unrefined PQ drops to 0.55; see SCALE.md recall table). Reuses the
+    fit-once codebooks."""
+    from pywrangler_spark.operators.similarity import (
+        topk_cosine_pq,
+        train_pq_codebooks,
+    )
+
+    emb = _emb(spark, sf_dir)
+    key = (sf_dir, 16, 256)
+    if key not in _PQ_CODEBOOKS:
+        _PQ_CODEBOOKS[key] = train_pq_codebooks(
+            emb, "embedding", m=16, codebook_k=256, seed=42
+        )
+    approx = emb.transform(
+        topk_cosine_pq(
+            "vec_id",
+            "embedding",
+            k=10,
+            m=16,
+            codebook_k=256,
+            query_filter=(F.col("vec_id") % 40 == 0)
+            & (F.col("vec_id") < 2000),
+            codebooks=_PQ_CODEBOOKS[key],
+            rerank=2,
+        )
+    )
+    return _recall_row(emb, approx, floor=0.7)
+
+
 _NEARDUP_ORACLE = f"""
 WITH e AS ({_NORM_E}
 ), p AS (
