@@ -114,6 +114,67 @@ def hot_keys(
     return out
 
 
+def adaptive_salted_join(
+    right: DataFrame,
+    on: Union[str, Sequence[str]],
+    n_salts: int = 16,
+    how: str = "inner",
+    top: int = 20,
+    min_share: float = 0.001,
+    seed: Optional[int] = None,
+) -> Callable[[DataFrame], DataFrame]:
+    """Measure-then-salt: detect the left side's hot join keys
+    (:func:`hot_keys` — two bounded fit-phase jobs: a count and a
+    top-``top`` aggregation) and salt ONLY the hot slice; the cold
+    slice joins plain, paying zero replication.
+
+    This is the composition the module docstring prescribes, packaged:
+    uniform salting replicates the entire right side ``n_salts``x
+    through the shuffle *whether or not any key is hot* — measured at
+    sf10, that turned a 6 s join into ~90 s with no skew to mitigate.
+    Salting must be bought only where the skew is. With no hot keys
+    this degrades to exactly ``left.join(right, on, how)``.
+
+    Output == the plain join for ``how`` in {inner, left}, up to row
+    order (hot and cold left slices are disjoint; each pair meets
+    exactly once on its route).
+    """
+    keys = list(ensure_iterable(on))
+    if not keys:
+        raise ValueError("adaptive_salted_join requires join keys")
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how!r}")
+
+    def _transform(left: DataFrame) -> DataFrame:
+        hot = hot_keys(left, keys, top=top, min_share=min_share)
+        if not hot:
+            return left.join(right, keys, how)
+        if len(keys) == 1:
+            cond = F.col(keys[0]).isin(list(hot))
+        else:
+            cond = F.lit(False)
+            for vals in hot:
+                clause = F.lit(True)
+                for k, v in zip(keys, vals):
+                    clause = clause & F.col(k).eqNullSafe(F.lit(v))
+                cond = cond | clause
+        # null keys never match and isin(null) is NULL, not False —
+        # coalesce routes them down the cold path (where a left join
+        # still emits them, right columns null — plain-join semantics)
+        cold = left.filter(F.coalesce(~cond, F.lit(True)))
+        hot_left = left.filter(F.coalesce(cond, F.lit(False)))
+        hot_right = right.filter(F.coalesce(cond, F.lit(False)))
+        plain = cold.join(right, keys, how)
+        salted = hot_left.transform(
+            salted_join(hot_right, keys, n_salts=n_salts, how=how,
+                        seed=seed)
+        )
+        return plain.unionByName(salted.select(plain.columns))
+
+    _transform.__name__ = "adaptive_salted_join"
+    return _transform
+
+
 def left_join_null_bypass(
     right: DataFrame,
     on: Union[str, Sequence[str]],

@@ -866,7 +866,15 @@ GROUP BY 1
 
 @register("salted_priority_revenue", oracle=_SALTED_ORACLE)
 def salted_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pywrangler_spark.operators.skew import salted_join
+    """Skew-aware fact/dim join: measure-then-salt. Uniformly salting
+    this join (round 1-4 form) replicated orders 8x through the shuffle
+    on a key with NO skew — 6 s of plain join became ~90 s at sf10,
+    pure replication tax. adaptive_salted_join detects hot keys first
+    (two bounded fit jobs) and salts only those; TPC-H orderkeys are
+    uniform, so the detector correctly finds none and the join runs
+    plain. The salted route itself is equivalence-tested on genuinely
+    skewed data in tests/test_skew.py."""
+    from pywrangler_spark.operators.skew import adaptive_salted_join
 
     li = _t(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("k"), "l_extendedprice", "l_discount"
@@ -876,7 +884,7 @@ def salted_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.transform(salted_join(orders, "k", n_salts=8, seed=42))
+        li.transform(adaptive_salted_join(orders, "k", n_salts=8, seed=42))
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n_items"), dsum(rev).alias("revenue"))
     )

@@ -153,3 +153,67 @@ class TestTopKPlan:
         plan = explain_string(df)
         assert "TakeOrderedAndProject" in plan
         assert "rangepartitioning" not in plan.lower()
+
+
+class TestAdaptiveSaltedJoin:
+    def test_skewed_equivalent_and_salts_hot(self, spark, skewed):
+        from pywrangler_spark.operators.skew import adaptive_salted_join
+
+        left, right = skewed
+        plain = left.join(right, "k").groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"),
+            F.sum("w").alias("sw"),
+        )
+        adaptive = left.transform(
+            adaptive_salted_join(right, "k", n_salts=4, seed=7)
+        ).groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"),
+            F.sum("w").alias("sw"),
+        )
+        assert sorted(map(tuple, plain.collect())) == sorted(
+            map(tuple, adaptive.collect())
+        )
+
+    def test_uniform_degrades_to_plain_join(self, spark):
+        """No hot keys -> exactly the plain join plan: no Generate
+        (salt explode) node, zero replication tax."""
+        from pywrangler_spark.operators.skew import adaptive_salted_join
+        from pywrangler_spark.plans.inspect import explain_string
+
+        left = spark.createDataFrame(
+            pd.DataFrame({"k": [f"k{i}" for i in range(2000)],
+                          "v": range(2000)})
+        )
+        right = spark.createDataFrame(
+            pd.DataFrame({"k": [f"k{i}" for i in range(0, 2000, 2)],
+                          "w": range(1000)})
+        )
+        out = left.transform(
+            adaptive_salted_join(right, "k", min_share=0.01)
+        )
+        assert "Generate" not in explain_string(out)
+        assert out.count() == 1000
+
+    def test_left_join_keeps_null_and_miss_rows(self, spark, skewed):
+        from pywrangler_spark.operators.skew import adaptive_salted_join
+
+        left, right = skewed
+        with_null = left.unionByName(
+            spark.createDataFrame(pd.DataFrame({"k": [None] * 3,
+                                                "v": [-1, -2, -3]}))
+        )
+        out = with_null.transform(
+            adaptive_salted_join(right, "k", how="left", seed=1)
+        )
+        plain = with_null.join(right, "k", "left")
+        assert out.count() == plain.count()
+        assert out.filter(F.col("k").isNull()).count() == 3
+
+    def test_validation(self, skewed):
+        from pywrangler_spark.operators.skew import adaptive_salted_join
+
+        left, right = skewed
+        with pytest.raises(ValueError, match="join keys"):
+            adaptive_salted_join(right, [])(left)
+        with pytest.raises(ValueError, match="how"):
+            adaptive_salted_join(right, "k", how="outer")(left)
