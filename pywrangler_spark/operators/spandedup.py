@@ -46,9 +46,13 @@ Plan shape at 100 TB:
    exchange would serialize every hot-gram row through one reducer —
    the exact straggler the split removes. One extra even, parallel
    scan pass is the price (measured cost-neutral at sf0.1).
-3. covered positions: explode each hit's n-token window, distinct,
-   count per doc — the only rows past the joins are positions inside
-   duplicated spans.
+3. per-doc hit sets: ONE doc-keyed aggregation collects each
+   document's hit start positions into a sorted array (map-side
+   partial ``collect_set`` — the shuffle carries one array row per
+   document). Covered windows are then expanded scan-side on those
+   small arrays: the mask statistic as an interval-union fold, the
+   excision set as a flatten+distinct — no per-token rows ever
+   shuffle.
 """
 
 from __future__ import annotations
@@ -89,7 +93,7 @@ def _positional_grams(
     )
 
 
-def _covered_positions(
+def _hit_position_sets(
     df: DataFrame,
     id_column: str,
     text_column: str,
@@ -97,9 +101,22 @@ def _covered_positions(
     min_docs: int,
     hot_min_docs: int,
 ) -> DataFrame:
-    """Distinct ``(_id, _tok)`` token positions covered by some n-gram
-    occurring in ``min_docs``+ distinct documents, via the hot/cold
-    split join described in the module docstring."""
+    """``(_id, _hp)``: per-document sorted array of hit START positions
+    — 0-based token indexes where some n-gram occurring in
+    ``min_docs``+ distinct documents begins — via the hot/cold split
+    join described in the module docstring.
+
+    This aggregation is the only doc-keyed exchange downstream of the
+    gram joins: ``collect_set`` partially aggregates map-side, so the
+    shuffle carries one position-array row per document (bounded by
+    document length), never per-token rows. Covered-position expansion
+    (each start covers its n-token window) happens scan-side on these
+    small arrays in the consumers. The previous formulation exploded
+    every hit into its n covered positions and ran a corpus-wide
+    ``distinct()`` plus a second per-doc regroup — two shuffles of
+    ~n× the corpus token count whose shuffle-file write-back measurably
+    taxed the FOLLOWING bench query at sf10 (rolling window 2.3 s →
+    21.7 s after this operator, recovering over minutes)."""
     grams = _positional_grams(df, id_column, text_column, n)
     dup = (
         grams.groupBy("_gh")
@@ -112,15 +129,29 @@ def _covered_positions(
     hits = grams.join(F.broadcast(hot), "_gh").unionByName(
         grams.join(cold, "_gh")
     )
-    return (
-        hits.select(
-            "_id",
-            F.explode(
-                F.sequence(F.col("_pos"), F.col("_pos") + F.lit(n - 1))
-            ).alias("_tok"),
-        )
-        .distinct()
+    return hits.groupBy("_id").agg(
+        F.sort_array(F.collect_set("_pos")).alias("_hp")
     )
+
+
+def _union_length(hp, n: int):
+    """Total tokens covered by the union of windows ``[p, p+n-1]`` over
+    the SORTED start positions ``hp`` — one scan-side fold, no
+    per-token materialization."""
+    state0 = F.struct(
+        F.lit(-1).cast("int").alias("e"),
+        F.lit(0).cast("long").alias("t"),
+    )
+
+    def step(acc, p):
+        end = p + F.lit(n - 1)
+        add = F.greatest(end - F.greatest(acc["e"], p - 1), F.lit(0))
+        return F.struct(
+            F.greatest(acc["e"], end).alias("e"),
+            (acc["t"] + add.cast("long")).alias("t"),
+        )
+
+    return F.aggregate(hp, state0, step, lambda acc: acc["t"])
 
 
 def mask_duplicate_spans(
@@ -156,11 +187,11 @@ def mask_duplicate_spans(
         )
 
     def _transform(df: DataFrame) -> DataFrame:
-        covered = _covered_positions(
+        hp = _hit_position_sets(
             df, id_column, text_column, n, min_docs, hot_min_docs
         )
-        masked = covered.groupBy("_id").agg(
-            F.count(F.lit(1)).alias("n_masked")
+        masked = hp.select(
+            "_id", _union_length(F.col("_hp"), n).alias("n_masked")
         )
         out = df.join(
             masked.withColumnRenamed("_id", id_column), id_column, "left"
@@ -264,11 +295,24 @@ def excise_duplicate_spans(
         )
 
     def _transform(df: DataFrame) -> DataFrame:
-        covered = _covered_positions(
+        hp = _hit_position_sets(
             df, id_column, text_column, n, min_docs, hot_min_docs
         )
-        mtoks = covered.groupBy("_id").agg(
-            F.sort_array(F.collect_set("_tok")).alias("_mtoks")
+        # expand each start to its covered window scan-side — the
+        # arrays are per-document (≤ token count), so this never
+        # touches a shuffle
+        mtoks = hp.select(
+            "_id",
+            F.sort_array(
+                F.array_distinct(
+                    F.flatten(
+                        F.transform(
+                            F.col("_hp"),
+                            lambda p: F.sequence(p, p + F.lit(n - 1)),
+                        )
+                    )
+                )
+            ).alias("_mtoks"),
         )
         out = df.join(
             mtoks.withColumnRenamed("_id", id_column), id_column, "left"

@@ -45,8 +45,8 @@ from pywrangler_spark.queries import text as _text  # noqa: E402,F401
 # representative per verified family, then the redundant TPC-H variants
 # (mutually similar star-join/agg shapes) last.
 _PRIORITY = [
-    # new in round 5 — needs a first driver row
-    "ann_topk_pq_rerank",
+    # new in round 5 — need a first driver row
+    "ann_topk_pq_rerank", "chunk_docs_cdc",
     # round-4 rewrites whose plans changed (81dd4c3, e6cd13b) AFTER
     # their last driver row — the driver must re-own the signal first
     "interval_last_first", "interval_first_first", "interval_first_last",

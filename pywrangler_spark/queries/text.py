@@ -598,6 +598,58 @@ def chunk_docs_by_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- content-defined chunking ---------------------------------------------
+# Boundaries cut where (h[i-1]*31 + h[i]) mod 16 == 0 over per-token
+# md5-derived 56-bit hashes — a purely local decision, so boundaries
+# re-align after edits (the CDC dedup property). The oracle re-derives
+# the identical cut set by hashing the token array once and numbering
+# chunks with a running sum of cut flags. 31·h + h' < 2^61 fits signed
+# int64 on both engines.
+
+_CDC_AVG = 16
+
+_CDC_CHUNK_ORACLE = f"""
+WITH w AS (
+    SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws,
+           list_transform(
+               string_split({_NORM_SQL}, ' '),
+               t -> ('0x' || substr(md5(t), 1, 14))::BIGINT
+           ) AS th
+    FROM documents
+    WHERE text IS NOT NULL AND {_NORM_SQL} != ''
+), toks AS (
+    SELECT doc_id, ws, th, t.i AS pos
+    FROM w, UNNEST(range(1, len(ws) + 1)) AS t(i)
+), flagged AS (
+    SELECT doc_id, ws[pos] AS tok, pos,
+           CASE WHEN pos >= 2 AND
+                     (th[pos - 1] * 31 + th[pos]) % {_CDC_AVG} = 0
+                THEN 1 ELSE 0 END AS cut
+    FROM toks
+), numbered AS (
+    SELECT doc_id, tok, pos,
+           CAST(sum(cut) OVER (PARTITION BY doc_id ORDER BY pos)
+                AS INT) AS chunk_index
+    FROM flagged
+)
+SELECT doc_id, chunk_index,
+       CAST(min(pos) - 1 AS INT) AS token_start,
+       string_agg(tok, ' ' ORDER BY pos) AS chunk,
+       CAST(count(*) AS BIGINT) AS n_tokens
+FROM numbered
+GROUP BY doc_id, chunk_index
+"""
+
+
+@register("chunk_docs_cdc", oracle=_CDC_CHUNK_ORACLE)
+def chunk_docs_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pywrangler_spark.operators.chunk import chunk_content_defined
+
+    return _docs(spark, sf_dir).transform(
+        chunk_content_defined("doc_id", "text", avg_tokens=_CDC_AVG)
+    )
+
+
 # ---- real BPE tokenization -------------------------------------------------
 # The merge loop is inherently iterative (not SQL-expressible), so the
 # query is gated on hard invariants instead: merges never cross word

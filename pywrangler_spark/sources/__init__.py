@@ -1,5 +1,6 @@
 """Sources & sinks."""
 
+from pywrangler_spark.sources.blobs import read_binary_files, read_text_shards
 from pywrangler_spark.sources.bucketed import read_table, write_bucketed_table
 from pywrangler_spark.sources.layout import (
     fit_zorder_boundaries,
@@ -28,6 +29,8 @@ __all__ = [
     "read_parquet",
     "load_tables",
     "register_views",
+    "read_binary_files",
+    "read_text_shards",
     "read_csv",
     "read_json",
     "read_orc",

@@ -5,7 +5,10 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from pywrangler_spark.operators.chunk import chunk_documents
+from pywrangler_spark.operators.chunk import (
+    chunk_content_defined,
+    chunk_documents,
+)
 from pywrangler_spark.operators.quality import percentile_gate
 
 
@@ -45,6 +48,110 @@ class TestChunking:
             chunk_documents("id", "t", 0)
         with pytest.raises(ValueError, match="overlap"):
             chunk_documents("id", "t", 5, 5)
+
+
+def _h56(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:14], 16)
+
+
+def _cdc_model(tokens, avg):
+    """Reference model of the boundary rule (pure Python md5)."""
+    h = [_h56(t) for t in tokens]
+    cuts = [
+        i
+        for i in range(1, len(tokens))
+        if (h[i - 1] * 31 + h[i]) % avg == 0
+    ]
+    starts = [0] + cuts
+    ends = cuts + [len(tokens)]
+    return [" ".join(tokens[s:e]) for s, e in zip(starts, ends)], starts
+
+
+def _mk_words(seed, n):
+    import random
+
+    rng = random.Random(seed)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta"]
+    return [rng.choice(vocab) for _ in range(n)]
+
+
+class TestContentDefinedChunking:
+    AVG = 4
+
+    def test_matches_reference_model(self, spark):
+        toks = _mk_words(7, 200)
+        expected_chunks, expected_starts = _cdc_model(toks, self.AVG)
+        assert len(expected_chunks) > 5  # rule actually fires
+        df = spark.createDataFrame([(1, " ".join(toks))], ["doc_id", "text"])
+        out = (
+            df.transform(
+                chunk_content_defined("doc_id", "text", avg_tokens=self.AVG)
+            )
+            .orderBy("chunk_index")
+            .collect()
+        )
+        assert [r.chunk for r in out] == expected_chunks
+        assert [r.token_start for r in out] == expected_starts
+        assert [r.n_tokens for r in out] == [
+            len(c.split(" ")) for c in expected_chunks
+        ]
+
+    def test_reassembly(self, spark):
+        toks = _mk_words(11, 150)
+        df = spark.createDataFrame([(1, " ".join(toks))], ["doc_id", "text"])
+        out = (
+            df.transform(
+                chunk_content_defined("doc_id", "text", avg_tokens=self.AVG)
+            )
+            .orderBy("chunk_index")
+            .collect()
+        )
+        assert " ".join(r.chunk for r in out) == " ".join(toks)
+
+    def test_boundaries_realign_after_insertion(self, spark):
+        # the CDC property: prepending one token shifts every fixed
+        # window, but content-defined chunks re-align after the first
+        # boundary — all of A's chunks past its first are a literal
+        # tail of B's chunk list
+        toks = _mk_words(13, 200)
+        a = " ".join(toks)
+        b = " ".join(["inserted"] + toks)
+        df = spark.createDataFrame(
+            [(1, a), (2, b)], ["doc_id", "text"]
+        )
+        out = df.transform(
+            chunk_content_defined("doc_id", "text", avg_tokens=self.AVG)
+        ).collect()
+        ca = [r.chunk for r in sorted(out, key=lambda r: r.chunk_index)
+              if r.doc_id == 1]
+        cb = [r.chunk for r in sorted(out, key=lambda r: r.chunk_index)
+              if r.doc_id == 2]
+        assert len(ca) > 5
+        assert cb[-(len(ca) - 1):] == ca[1:]
+
+    def test_degenerate_docs(self, spark):
+        df = spark.createDataFrame(
+            [(1, ""), (2, None), (3, "solo"), (4, "  two  words ")],
+            ["doc_id", "text"],
+        )
+        out = df.transform(
+            chunk_content_defined("doc_id", "text", avg_tokens=self.AVG)
+        ).collect()
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        assert set(by_doc) == {3, 4}
+        assert by_doc[3][0].chunk == "solo"
+        assert " ".join(
+            r.chunk
+            for r in sorted(by_doc[4], key=lambda r: r.chunk_index)
+        ) == "two words"
+
+    def test_validation(self):
+        with pytest.raises(ValueError, match="avg_tokens"):
+            chunk_content_defined("id", "t", avg_tokens=1)
 
 
 class TestPercentileGate:
