@@ -192,12 +192,13 @@ def intervaljoin_error_shadow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---- time-range window frame: trailing 7-day value per user ---------------
-# RANGE frame over event time (not rows): each event sees the sum/count of
-# the same user's events in the trailing 7 days. Spark range frames need a
-# numeric order key, so the frame runs over unix micros — exact integer
-# bounds, identical to DuckDB's INTERVAL range frame on the timestamp.
-# One Exchange on user_id; the frame scan is a single sorted pass per
-# partition (no self-join).
+# Each event sees the sum/count of the same user's events in the
+# trailing 7 days. The obvious bounded RANGE frame is a scale-killer:
+# Spark's sliding frame re-aggregates as bounds move (35.7x wall for
+# 10x data at the sf1->sf10 decade — per-key density grows with scale,
+# work grows ~density^2). trailing_window_agg computes the identical
+# answer as prefix(<=t) - prefix(<t-7d): two linear sorted passes, two
+# user-keyed exchanges, decimal-exact vs the oracle's INTERVAL frame.
 
 _ROLLING_ORACLE = """
 SELECT event_id,
@@ -214,25 +215,24 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
 
 @register("rolling_7d_user_value", oracle=_ROLLING_ORACLE)
 def rolling_7d_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from pywrangler_spark.operators.rolling import trailing_window_agg
 
     ev = _events(spark, sf_dir).select("event_id", "user_id", "ts", "value")
-    micros = epoch_micros("ts")
-    seven_days = 7 * 24 * 3600 * 1_000_000
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy(micros)
-        .rangeBetween(-seven_days, 0)
+    rolled = ev.transform(
+        trailing_window_agg(
+            "ts",
+            7 * 24 * 3600,
+            "user_id",
+            sums={"value_7d": F.col("value").cast("decimal(27,4)")},
+            count_alias="n_7d",
+        )
     )
-    return ev.select(
+    return rolled.select(
         "event_id",
         "user_id",
         "ts",
-        F.sum(F.col("value").cast("decimal(27,4)"))
-        .over(w)
-        .cast("double")
-        .alias("value_7d"),
-        F.count(F.lit(1)).over(w).alias("n_7d"),
+        F.col("value_7d").cast("double").alias("value_7d"),
+        F.col("n_7d").cast("long").alias("n_7d"),
     )
 
 
