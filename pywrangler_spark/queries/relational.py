@@ -1517,10 +1517,16 @@ def nullsafe_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---- ranking-window suite (ntile / percent_rank / cume_dist / nth) --------
-# The remaining SQL-standard ranking functions in one pass over ONE
-# window spec (one exchange + one sort; Catalyst fuses same-spec window
-# exprs). The orderBy includes o_orderkey so the order is total — ntile
-# and nth_value are only deterministic under a total order.
+# The remaining SQL-standard ranking functions. o_orderpriority has 5
+# distinct values, so the natural one-window plan caps parallelism at 5
+# tasks forever (8.0x wall for 10x data at the sf1->sf10 decade).
+# operators.rank.grouped_rank range-partitions the TOTAL sort order and
+# rebuilds per-key ranks from two broadcast offset tables; ntile /
+# percent_rank / cume_dist are then pure arithmetic over (rank, group
+# size), and nth_value's "second cheapest per key" is a two-stage min
+# aggregation (min, then min above it) broadcast back — no key-wise
+# window anywhere. The orderBy includes o_orderkey so the order is
+# total, which rank-derived percent_rank/cume_dist require (no peers).
 
 _RANKS_ORACLE = """
 SELECT o_orderkey,
@@ -1539,22 +1545,68 @@ WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
 
 @register("window_rank_suite", oracle=_RANKS_ORACLE)
 def window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    orders = _t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderpriority").orderBy(
-        "o_totalprice", "o_orderkey"
+    from pywrangler_spark.operators.rank import (
+        grouped_rank,
+        ntile_from_rank,
     )
-    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    return orders.select(
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    ranked = orders.transform(
+        grouped_rank(
+            "o_orderpriority",
+            ["o_totalprice", "o_orderkey"],
+            rank_column="_rk",
+            group_size_column="_n",
+        )
+    )
+    # global 2nd-cheapest per key WITHOUT min(struct) — struct extrema
+    # plan as SortAggregate (full per-partition sort, measured as 2 of
+    # the 4 sorts in the first rewrite); primitive mins stay in
+    # HashAggregate, so these are three map-side-partial scans with
+    # 5-row shuffles, broadcast back. Pass 1: cheapest price p1. Pass
+    # 2: cheapest order at p1, and the next-higher price pa. Pass 3:
+    # second-cheapest order at p1 (tie on price) and cheapest at pa;
+    # the tie candidate wins when present ((p1,k) < (pa,k') always).
+    price, okey = F.col("o_totalprice"), F.col("o_orderkey")
+    p1 = orders.groupBy("o_orderpriority").agg(
+        F.min(price).alias("_p1")
+    )
+    a2 = (
+        orders.join(F.broadcast(p1), "o_orderpriority")
+        .groupBy("o_orderpriority", "_p1")
+        .agg(
+            F.min(F.when(price == F.col("_p1"), okey)).alias("_k1"),
+            F.min(F.when(price > F.col("_p1"), price)).alias("_pa"),
+        )
+    )
+    m2 = (
+        orders.join(F.broadcast(a2), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.coalesce(
+                F.min(
+                    F.when(
+                        (price == F.col("_p1"))
+                        & (okey > F.col("_k1")),
+                        okey,
+                    )
+                ),
+                F.min(F.when(price == F.col("_pa"), okey)),
+            ).alias("_second")
+        )
+    )
+    rk, n = F.col("_rk"), F.col("_n")
+    return ranked.join(F.broadcast(m2), "o_orderpriority", "left").select(
         "o_orderkey",
         "o_orderpriority",
-        F.ntile(4).over(w).alias("price_quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
-        F.nth_value("o_orderkey", 2).over(w_run).alias(
-            "second_cheapest_key"
-        ),
+        ntile_from_rank(rk, n, 4).alias("price_quartile"),
+        F.round(
+            F.when(n > 1, (rk - 1) / (n - 1)).otherwise(F.lit(0.0)), 6
+        ).alias("pct_rank"),
+        F.round(rk / n, 6).alias("cume"),
+        F.when(rk >= 2, F.col("_second")).alias("second_cheapest_key"),
     )
 
 
