@@ -1,6 +1,8 @@
 """Structured Streaming variants of the batch operators."""
 
 from pywrangler_spark.streaming.caps import stream_cap_per_key
+from pywrangler_spark.streaming.chunk import stream_chunk_content_defined
+from pywrangler_spark.streaming.pack import stream_pack_sequences
 from pywrangler_spark.streaming.cardinality import stream_window_cardinality
 from pywrangler_spark.streaming.classify import (
     stream_classify_gate,
@@ -37,5 +39,7 @@ __all__ = [
     "stream_classify_gate",
     "stream_nearest_centroid",
     "stream_cap_per_key",
+    "stream_chunk_content_defined",
+    "stream_pack_sequences",
     "idempotent_parquet_sink",
 ]

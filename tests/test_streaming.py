@@ -869,3 +869,92 @@ class TestStreamingNearDup:
             stream_neardup_minhash("id", "text", num_hashes=10, bands=4)
         with pytest.raises(ValueError, match="max_bucket_size"):
             stream_neardup_minhash("id", "text", max_bucket_size=1)
+
+
+class TestStreamingChunkCDC:
+    def test_chunks_match_batch(self, spark, docs_stream_dir):
+        from pywrangler_spark.operators.chunk import chunk_content_defined
+        from pywrangler_spark.streaming import stream_chunk_content_defined
+
+        docs = read_parquet(spark, f"{SF}/documents.parquet")
+        batch = {
+            (r["doc_id"], r["chunk_index"]): (
+                r["token_start"],
+                r["chunk"],
+                r["n_tokens"],
+            )
+            for r in docs.transform(
+                chunk_content_defined("doc_id", "text", avg_tokens=16)
+            ).collect()
+        }
+        streamed_df = _run_stream(
+            spark,
+            stream_chunk_content_defined("doc_id", "text", avg_tokens=16),
+            docs_stream_dir,
+            docs.schema,
+            "chunk_cdc_sink",
+        )
+        streamed = {
+            (r["doc_id"], r["chunk_index"]): (
+                r["token_start"],
+                r["chunk"],
+                r["n_tokens"],
+            )
+            for r in streamed_df.collect()
+        }
+        assert len(batch) > 100
+        assert streamed == batch
+
+
+class TestStreamingPack:
+    def test_packs_match_batch_on_ordered_stream(
+        self, spark, docs_stream_dir
+    ):
+        from pywrangler_spark.functions.text import token_count
+        from pywrangler_spark.operators.pack import pack_sequences
+        from pywrangler_spark.streaming import stream_pack_sequences
+
+        # docs arrive in doc_id order across micro-batches (the fixture
+        # splits by doc_id), so streamed packing must equal batch
+        # packing ordered by doc_id within each shard
+        def _prep(df):
+            return df.select(
+                "doc_id",
+                (F.col("doc_id") % 4).alias("shard"),
+                token_count(F.col("text")).alias("n_tokens"),
+            )
+
+        docs = read_parquet(spark, f"{SF}/documents.parquet")
+        batch = {
+            r["doc_id"]: (r["pack_id"], r["pack_offset"])
+            for r in _prep(docs)
+            .transform(
+                pack_sequences("n_tokens", 512, "doc_id", "shard")
+            )
+            .collect()
+        }
+        streamed_df = _run_stream(
+            spark,
+            lambda sdf: _prep(sdf).transform(
+                stream_pack_sequences("n_tokens", 512, "doc_id", "shard")
+            ),
+            docs_stream_dir,
+            docs.schema,
+            "pack_sink",
+        )
+        streamed = {
+            r["doc_id"]: (r["pack_id"], r["pack_offset"])
+            for r in streamed_df.collect()
+        }
+        assert len(batch) > 100
+        assert streamed == batch
+
+    def test_validation(self):
+        from pywrangler_spark.streaming import stream_pack_sequences
+
+        with pytest.raises(ValueError, match="shard key"):
+            stream_pack_sequences("n", 512, "doc_id", ())
+        with pytest.raises(ValueError, match="positive budget"):
+            stream_pack_sequences("n", 0, "doc_id", "shard")
+        with pytest.raises(ValueError, match="order columns"):
+            stream_pack_sequences("n", 512, (), "shard")
