@@ -23,6 +23,7 @@ import os
 import statistics
 import threading
 import time
+import warnings
 from typing import Any, Callable, Dict, List, Optional
 
 from pyspark.sql import DataFrame
@@ -194,6 +195,14 @@ class SparkExecutorMemoryProfiler:
     engine's :func:`~pywrangler_spark.session.get_spark` disables it by
     default, so pass ``extra_conf={"spark.ui.enabled": "true"}`` or an
     explicit ``api_url`` of a history server).
+
+    The ``/stages`` endpoint only returns RETAINED stages
+    (``spark.ui.retainedStages``, default 1000): a profiled call that
+    runs more stages than that has its oldest stages evicted before
+    the post-run poll, silently under-reporting. The profiler warns
+    when a run attributes zero stages or when the attributed set
+    shrinks between polls (both are eviction signatures); raise
+    ``spark.ui.retainedStages`` for very long profiled calls.
     """
 
     def __init__(
@@ -239,12 +248,22 @@ class SparkExecutorMemoryProfiler:
             # completed-stage metrics land asynchronously; poll until
             # every new stage left the ACTIVE state (or timeout)
             deadline = time.monotonic() + self.poll_timeout
+            prev_count = -1
             while True:
                 new = {
                     sid: s
                     for sid, s in self._stages().items()
                     if sid not in seen
                 }
+                if 0 <= len(new) < prev_count:
+                    warnings.warn(
+                        "SparkExecutorMemoryProfiler: attributed stage "
+                        f"set shrank between polls ({prev_count} -> "
+                        f"{len(new)}) — stages are being evicted from "
+                        "the UI store; metrics under-report. Raise "
+                        "spark.ui.retainedStages."
+                    )
+                prev_count = len(new)
                 if all(
                     s["status"] not in ("ACTIVE", "PENDING")
                     for s in new.values()
@@ -252,6 +271,13 @@ class SparkExecutorMemoryProfiler:
                     break
                 time.sleep(0.1)
             stages = list(new.values())
+            if not stages:
+                warnings.warn(
+                    "SparkExecutorMemoryProfiler: no new stages "
+                    "attributed to this run — either the action ran "
+                    "zero jobs, or its stages were evicted "
+                    "(spark.ui.retainedStages); metrics are zeros."
+                )
             self.records.append(
                 {
                     "n_stages": len(stages),

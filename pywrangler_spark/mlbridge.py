@@ -146,6 +146,21 @@ def _build(
         ),
         "_transform": apply_fn,
     }
+    # a parameter named like an inherited Params/Transformer member
+    # ('params', 'uid', 'copy', ...) would silently shadow the ML API
+    # when written as a class attribute below — refuse loudly instead
+    reserved = set(dir(Transformer)) | set(dir(_StageTransformerMixin))
+    # instance attributes Params.__init__ assigns (not visible via
+    # dir() on the class)
+    reserved.update({"uid", "_defaultParamMap", "_paramMap", "_params"})
+    reserved.update(attrs)
+    bad = sorted(p for p in params if p in reserved)
+    if bad:
+        raise ValueError(
+            f"stage parameter name(s) {bad} collide with "
+            "pyspark.ml.Transformer / bridge attributes; rename the "
+            "wrangler parameter(s) before bridging"
+        )
     for pname in params:
         # Params._dummy() parent is the public idiom for class-level
         # params (pyspark.ml.param.shared does the same); Params

@@ -138,6 +138,16 @@ def adaptive_salted_join(
     Output == the plain join for ``how`` in {inner, left}, up to row
     order (hot and cold left slices are disjoint; each pair meets
     exactly once on its route).
+
+    The detection phase re-executes the left lineage (two bounded
+    jobs) before the hot/cold filters execute it again, so the left
+    input must be DETERMINISTIC: a lineage containing ``rand()``,
+    un-seeded sampling, or similar can disagree between the measured
+    hot set and the later filters, splitting rows inconsistently (a
+    row could route down both paths or neither). Cache / checkpoint
+    such an input first — the operator cannot do it for you without
+    pinning a 100 TB dataset. An expensive deterministic lineage is
+    merely scanned twice more; cache it if that matters.
     """
     keys = list(ensure_iterable(on))
     if not keys:

@@ -163,10 +163,21 @@ def stream_neardup_minhash(
             # deterministic intra-batch order so replays emit the same
             # pairs (micro-batch row order is not guaranteed)
             batch = batch.sort_values("_id", kind="stable")
+            # membership is keyed by doc id: a re-ingested id has an
+            # identical signature by construction, so appending it again
+            # would only inflate state toward max_bucket_size (evicting
+            # capacity for genuinely new docs) and re-emit its pairs
+            seen_ids = {m[0] for m in members}
             out_a, out_b, out_s = [], [], []
             for doc_id, sig in zip(
                 batch["_id"].to_numpy(), batch["_sig"].to_numpy()
             ):
+                if int(doc_id) in seen_ids:
+                    # re-ingested id: identical signature by
+                    # construction, pairs already emitted — a no-op
+                    # keeps replays idempotent and state bounded by
+                    # distinct documents
+                    continue
                 sig = np.asarray(sig, dtype="int64")
                 if members:
                     known_ids = np.fromiter(
@@ -181,6 +192,7 @@ def stream_neardup_minhash(
                         out_s.append(float(s))
                 if len(members) < max_bucket_size:
                     members.append((int(doc_id), sig))
+                seen_ids.add(int(doc_id))
             state.update((pickle.dumps(members),))
             if out_a:
                 yield pd.DataFrame(

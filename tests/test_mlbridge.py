@@ -126,3 +126,19 @@ class TestMlPipelineComposition:
         rows = {(r.user, r.order): (r.iids, r.user_idx) for r in out.collect()}
         assert rows[("a", 1)][0] == 1
         assert len({v[1] for v in rows.values()}) == 2
+
+
+class TestReservedParamNames:
+    def test_colliding_param_name_raises(self, spark):
+        def bad_stage(df, params=3):
+            return df
+
+        with pytest.raises(ValueError, match="collide"):
+            to_ml_transformer(bad_stage)
+
+    def test_uid_collision_raises(self, spark):
+        def bad_stage(df, uid="x"):
+            return df
+
+        with pytest.raises(ValueError, match="collide"):
+            to_ml_transformer(bad_stage)

@@ -958,3 +958,62 @@ class TestStreamingPack:
             stream_pack_sequences("n", 0, "doc_id", "shard")
         with pytest.raises(ValueError, match="order columns"):
             stream_pack_sequences("n", 512, (), "shard")
+
+
+class TestStreamingNearDupReplay:
+    def test_replayed_batch_is_noop(self, spark, tmp_path_factory):
+        """Re-ingesting the SAME documents (same ids) must not grow
+        bucket state or re-emit pairs: the replayed micro-batch
+        produces zero output rows."""
+        from pyspark.sql import Row
+
+        from pywrangler_spark.streaming import stream_neardup_minhash
+
+        base = str(tmp_path_factory.mktemp("neardup_replay"))
+        text = "the quick brown fox jumps over the lazy dog " * 5
+        rows = [
+            Row(doc_id=1, text=text),
+            Row(doc_id=2, text=text + "extra tail"),
+            Row(doc_id=3, text="completely unrelated content here"),
+        ]
+        first = os.path.join(base, "b0")
+        spark.createDataFrame(rows).coalesce(1).write.parquet(first)
+        files_dir = os.path.join(base, "files")
+        os.makedirs(files_dir)
+        n = 0
+        # batch 0, then an exact replay of the same documents
+        for _ in range(2):
+            for name in sorted(os.listdir(first)):
+                if name.endswith(".parquet"):
+                    dest = os.path.join(files_dir, f"{n:03d}.parquet")
+                    shutil.copy(os.path.join(first, name), dest)
+                    os.utime(dest, (1_700_000_000 + n * 60,) * 2)
+                    n += 1
+        sdf = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(files_dir)
+        )
+        q = (
+            sdf.transform(stream_neardup_minhash("doc_id", "text"))
+            .writeStream.format("memory")
+            .queryName("neardup_replay_sink")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        progresses = [
+            p
+            for p in q.recentProgress
+            if p["numInputRows"] > 0
+        ]
+        assert len(progresses) == 2
+        # first batch emits the planted pair, replay emits nothing
+        assert progresses[0]["sink"]["numOutputRows"] > 0
+        assert progresses[1]["sink"]["numOutputRows"] == 0
+        pairs = {
+            (r.id_a, r.id_b)
+            for r in spark.table("neardup_replay_sink").collect()
+        }
+        assert (1, 2) in pairs
