@@ -11,6 +11,13 @@ parseable record, no matter how many queries the suite grows to.
 Execution is forced with a noop datasource write (full computation, no
 driver-side collect), matching how a real pipeline sinks results.
 
+Each query also records its own stage telemetry (shuffle read/write MB,
+spill MB, peak execution memory) by diffing the UI REST /stages endpoint
+around the run — ``stage_metrics`` in the full record — so cross-query
+contamination (one query's shuffle/spill taxing its neighbor) is visible
+in the artifact instead of needing a lucky catch. Disable with
+``SPARK_GRAFT_BENCH_METRICS=0``.
+
 ``bench.py --ab REF`` runs contention-robust A/B passes instead: the
 suite alternates whole passes between HEAD and a git worktree of REF
 (each pass a fresh subprocess+session), so per-query HEAD/REF ratios are
@@ -126,20 +133,81 @@ def ab_main(ref: str) -> None:
     print(json.dumps(compact))
 
 
+def _stage_metrics_reader(spark):
+    """Closure reading the public /stages REST endpoint (None when the
+    UI is off). Used to attribute shuffle/spill bytes to each bench
+    query by stage-id diff — the telemetry that caught the span-dedup
+    shuffle-poisoning incident (one query's shuffle write-back
+    inflating its NEIGHBOR 2.3 s -> 21.7 s) only by accident before."""
+    import urllib.request
+
+    sc = spark.sparkContext
+    base = sc.uiWebUrl
+    if not base:
+        return None
+    api = f"{base}/api/v1/applications/{sc.applicationId}/stages"
+
+    def read() -> dict:
+        try:
+            with urllib.request.urlopen(api, timeout=5) as r:
+                return {s["stageId"]: s for s in json.load(r)}
+        except Exception:  # noqa: BLE001 — telemetry must never fail a run
+            return {}
+
+    return read
+
+
+def _aggregate_stages(stages) -> dict:
+    return {
+        "n_stages": len(stages),
+        "shuffle_read_mb": round(
+            sum(s.get("shuffleReadBytes", 0) for s in stages) / 2**20, 1
+        ),
+        "shuffle_write_mb": round(
+            sum(s.get("shuffleWriteBytes", 0) for s in stages) / 2**20, 1
+        ),
+        "spill_mb": round(
+            sum(
+                s.get("memoryBytesSpilled", 0) + s.get("diskBytesSpilled", 0)
+                for s in stages
+            )
+            / 2**20,
+            1,
+        ),
+        "peak_exec_mem_mb": round(
+            max(
+                (s.get("peakExecutionMemory", 0) for s in stages),
+                default=0,
+            )
+            / 2**20,
+            1,
+        ),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    want_metrics = os.environ.get("SPARK_GRAFT_BENCH_METRICS", "1") != "0"
 
     from pywrangler_spark.queries import QUERIES
     from pywrangler_spark.session import get_spark
 
+    extra_conf = {"spark.driver.memory": "48g"}
+    if want_metrics:
+        # the UI store feeds the /stages telemetry; retainedStages well
+        # above any single query's stage count so per-query diffs never
+        # see eviction
+        extra_conf["spark.ui.enabled"] = "true"
+        extra_conf["spark.ui.retainedStages"] = "20000"
     spark = get_spark(
         "bench",
         master=f"local[{cpus}]",
         shuffle_partitions=int(cpus),
-        extra_conf={"spark.driver.memory": "48g"},
+        extra_conf=extra_conf,
     )
     spark.sparkContext.setLogLevel("ERROR")
+    read_stages = _stage_metrics_reader(spark) if want_metrics else None
 
     # warm up the JVM / parquet footers so per-query numbers measure the
     # queries, not session bring-up
@@ -158,11 +226,13 @@ def main() -> None:
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     timings: dict = {}
     errors: dict = {}
+    stage_metrics: dict = {}
     names = sorted(QUERIES)
     for _ in range(reps):
         for name in names:
             if name in errors:
                 continue  # failed once; don't burn reps on it
+            seen = set(read_stages()) if read_stages else set()
             # construction inside the timer: some operators (e.g. the
             # range-partitioned global interval op) run summary jobs
             # while building their plan
@@ -176,8 +246,31 @@ def main() -> None:
                 timings.pop(name, None)
                 continue
             elapsed = time.perf_counter() - t0
-            if name not in timings or elapsed < timings[name]:
+            improved = name not in timings or elapsed < timings[name]
+            if improved:
                 timings[name] = elapsed
+            if read_stages and improved:
+                # metrics ride with the rep that set the best time;
+                # completed-stage stats land asynchronously, so allow
+                # one short settle re-read
+                after = {
+                    sid: s
+                    for sid, s in read_stages().items()
+                    if sid not in seen
+                }
+                if any(
+                    s.get("status") in ("ACTIVE", "PENDING")
+                    for s in after.values()
+                ):
+                    time.sleep(0.3)
+                    after = {
+                        sid: s
+                        for sid, s in read_stages().items()
+                        if sid not in seen
+                    }
+                stage_metrics[name] = _aggregate_stages(
+                    list(after.values())
+                )
             # Release the query's leftover persisted frames (signature
             # caches, interval partitions). Operators expose release()
             # for their owners; the bench owns nothing, so the
@@ -202,6 +295,8 @@ def main() -> None:
     }
     if errors:
         full["errors"] = errors
+    if stage_metrics:
+        full["stage_metrics"] = stage_metrics
     # full record: file + first stdout line (for humans / the judge).
     # SPARK_GRAFT_BENCH_OUT redirects the full record so off-nominal
     # runs (e.g. the sf1 scaling pass) don't clobber the sf0.1 artifact
