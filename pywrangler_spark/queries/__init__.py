@@ -45,35 +45,35 @@ from pywrangler_spark.queries import text as _text  # noqa: E402,F401
 # representative per verified family, then the redundant TPC-H variants
 # (mutually similar star-join/agg shapes) last.
 _PRIORITY = [
-    # new in round 5 — need a first driver row
-    "ann_topk_pq_rerank", "chunk_docs_cdc",
-    # round-4 rewrites whose plans changed (81dd4c3, e6cd13b) AFTER
-    # their last driver row — the driver must re-own the signal first
-    "interval_last_first", "interval_first_first", "interval_first_last",
-    "interval_last_last", "interval_identical_markers", "interval_raw_ids",
-    "interval_valid_ids", "interval_global_timeline",
-    "ann_topk_pq", "ann_topk_ivfpq", "dedup_simhash_near",
-    "semantic_dedup_embeddings", "embedding_neardup_pairs",
-    "docvec_ann_lsh", "docvec_neardup_pairs",
-    # stalest remaining: last driver-green in round 2
-    # (CORRECTNESS_r02) — after round 5 those rows would be three
-    # rounds old, so all of them ride this round's window
-    "ann_topk_int8", "bm25_search_docs", "embedding_label_centroids",
-    "stratified_sample_docs", "hash_split_docs", "cap_docs_per_source",
-    "quality_gate_docs", "vocab_top_terms", "repetition_quality_docs",
-    "lang_id", "text_stats", "chunk_docs_by_tokens", "shard_docs",
-    "heavy_hitter_terms", "approx_quantiles_prices", "timebucket_hourly",
-    "intervaljoin_error_shadow", "latest_event_per_user",
-    "changelog_compress_events", "json_props_by_type",
-    "variant_props_by_type", "chunk_documents_200", "pack_docs_512",
-    "source_mix_weights",
-    # backfill: oldest round-3 rows, shared-code families first
-    "dedup_simhash", "dedup_clusters_jaccard", "dedup_exact_rows",
-    "dedup_ngram_jaccard", "dedup_incremental_docs",
-    "classifier_quality_gate", "mix_docs_to_budget",
-    "session_features_events", "multimodal_features", "bpe_token_stats",
-    "dedup_span_excise",
-    # round-3/round-4-verified names follow in module order — freshest
+    # rewritten in round 6 AFTER their last driver row (CDC chunker
+    # explode+window+agg; rolling two-prefix; grouped_rank; weighted
+    # median; BM25 broadcast direction) — the driver must re-own these
+    "chunk_docs_cdc", "rolling_7d_user_value", "window_rank_suite",
+    "approx_quantiles_prices", "bm25_search_docs",
+    # round-5 post-row rewrites the round-5 verdict names explicitly
+    "dedup_span_mask", "dedup_span_excise", "salted_priority_revenue",
+    "redact_pii_docs", "dedup_incremental_bloom_docs",
+    # every remaining round-3-rowed query (their rows are 3 rounds old)
+    "bpe_token_stats", "lm_bigram_score_docs", "dedup_exact_groups",
+    "q1_pricing_summary", "q3_shipping_priority",
+    "q5_local_supplier_volume", "q6_forecast_revenue",
+    "q4_order_priority", "q7_nation_volume", "approx_distinct_parts",
+    "q8_market_share", "q9_product_profit", "q2_min_cost_supplier",
+    "q11_important_parts", "q20_recent_part_suppliers",
+    "profile_lineitem_columns", "histogram_extendedprice",
+    "nullsafe_join_segments", "profile_drift_orders",
+    "correlation_lineitem", "zorder_code_events",
+    "winsorize_event_values", "impute_event_values",
+    "scale_event_values", "frequency_encode_sources",
+    # oldest round-4 rows, distinct code families first — the rest of
+    # the round-4 cohort rides round 7's window
+    "decontaminate_docs", "corpus_clean_pipeline", "lm_score_docs",
+    "dedup_minhash_lsh", "sessionize_gap_1d", "multimodal_blob_stats",
+    "asof_click_attribution", "rangejoin_click_windows",
+    "user_value_trend", "ffill_user_values", "scd2_user_history",
+    "hopping_hourly_30m", "funnel_view_click_purchase",
+    "cdc_upsert_events", "twa_user_value",
+    # round-4/round-5-verified names follow in module order — freshest
     # rows, so they sit past the window by design
 ]
 
