@@ -228,11 +228,15 @@ def main() -> None:
     errors: dict = {}
     stage_metrics: dict = {}
     names = sorted(QUERIES)
+    # the /stages payload grows as the suite accumulates stages, so the
+    # telemetry does ONE read per query: each query's post-run snapshot
+    # doubles as the next query's baseline id set
+    seen_cache: set = set(read_stages()) if read_stages else set()
     for _ in range(reps):
         for name in names:
             if name in errors:
                 continue  # failed once; don't burn reps on it
-            seen = set(read_stages()) if read_stages else set()
+            seen = seen_cache
             # construction inside the timer: some operators (e.g. the
             # range-partitioned global interval op) run summary jobs
             # while building their plan
@@ -249,28 +253,31 @@ def main() -> None:
             improved = name not in timings or elapsed < timings[name]
             if improved:
                 timings[name] = elapsed
-            if read_stages and improved:
-                # metrics ride with the rep that set the best time;
-                # completed-stage stats land asynchronously, so allow
-                # one short settle re-read
+            if read_stages:
+                # always read (the snapshot is the next query's
+                # baseline); completed-stage stats land
+                # asynchronously, so allow one short settle re-read
+                snap = read_stages()
                 after = {
-                    sid: s
-                    for sid, s in read_stages().items()
-                    if sid not in seen
+                    sid: s for sid, s in snap.items() if sid not in seen
                 }
                 if any(
                     s.get("status") in ("ACTIVE", "PENDING")
                     for s in after.values()
                 ):
                     time.sleep(0.3)
+                    snap = read_stages()
                     after = {
                         sid: s
-                        for sid, s in read_stages().items()
+                        for sid, s in snap.items()
                         if sid not in seen
                     }
-                stage_metrics[name] = _aggregate_stages(
-                    list(after.values())
-                )
+                seen_cache = set(snap)
+                if improved:
+                    # metrics ride with the rep that set the best time
+                    stage_metrics[name] = _aggregate_stages(
+                        list(after.values())
+                    )
             # Release the query's leftover persisted frames (signature
             # caches, interval partitions). Operators expose release()
             # for their owners; the bench owns nothing, so the
