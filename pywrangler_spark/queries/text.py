@@ -806,18 +806,26 @@ def docvec_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id", "doc_vec", k=10, n_planes=8, dim=64, query_filter=qf
         )
     ).select("query_id", "neighbor_id")
-    hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
-    n_exact = exact.groupBy("query_id").agg(
-        F.count(F.lit(1)).alias("n_exact")
-    )
-    n_hit = hits.groupBy("query_id").agg(
-        F.count(F.lit(1)).alias("n_hit")
-    )
-    per_q = n_exact.join(n_hit, "query_id", "left").select(
-        "query_id",
-        (
-            F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_exact")
-        ).alias("recall"),
+    # one pass per tier: the earlier left_semi + two separate groupBys
+    # consumed `exact` twice and `approx` twice, and every consumer
+    # re-executed the full docvec aggregation + GEMM lineage (4 corpus
+    # passes for one gate). A left join with a hit marker feeds both
+    # counts from a single use of each side.
+    per_q = (
+        exact.join(
+            approx.withColumn("_hit", F.lit(1)),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("_hit").alias("n_hit"),
+        )
+        .select(
+            "query_id",
+            (F.col("n_hit") / F.col("n_exact")).alias("recall"),
+        )
     )
     return per_q.agg(
         F.count(F.lit(1)).alias("n_queries"),
