@@ -99,20 +99,27 @@ def _recall_row(
             & (F.col("vec_id") < 2000),
         )
     ).select("query_id", "neighbor_id")
-    hits = exact.join(
-        approx.select("query_id", "neighbor_id"),
-        ["query_id", "neighbor_id"],
-        "left_semi",
-    )
-    n_exact = exact.groupBy("query_id").agg(
-        F.count(F.lit(1)).alias("n_exact")
-    )
-    n_hit = hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit"))
-    per_q = n_exact.join(n_hit, "query_id", "left").select(
-        "query_id",
-        (F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_exact")).alias(
-            "recall"
-        ),
+    # one pass per tier: a left join with a hit marker feeds n_exact
+    # and n_hit from a SINGLE use of each side — the earlier left_semi
+    # + two separate groupBys consumed `exact` twice and `approx`
+    # twice, re-executing the GEMM / fitted-index lineages per consumer
+    per_q = (
+        exact.join(
+            approx.select(
+                "query_id", "neighbor_id", F.lit(1).alias("_hit")
+            ),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("_hit").alias("n_hit"),
+        )
+        .select(
+            "query_id",
+            (F.col("n_hit") / F.col("n_exact")).alias("recall"),
+        )
     )
     return per_q.agg(
         F.count(F.lit(1)).alias("n_queries"),
