@@ -37,6 +37,7 @@ from pywrangler_spark.queries import relational as _relational  # noqa: E402,F40
 from pywrangler_spark.queries import similarity as _similarity  # noqa: E402,F401
 from pywrangler_spark.queries import temporal as _temporal  # noqa: E402,F401
 from pywrangler_spark.queries import text as _text  # noqa: E402,F401
+from pywrangler_spark.queries import web as _web  # noqa: E402,F401
 
 # Registration (= iteration) order is the driver's evaluation order, and
 # the driver's correctness gate covers a bounded prefix of it. Order the
@@ -45,6 +46,8 @@ from pywrangler_spark.queries import text as _text  # noqa: E402,F401
 # representative per verified family, then the redundant TPC-H variants
 # (mutually similar star-join/agg shapes) last.
 _PRIORITY = [
+    # new in round 6 — need a first driver row
+    "webclean_docs", "url_canonical_domains",
     # rewritten in round 6 AFTER their last driver row (CDC chunker
     # explode+window+agg; rolling two-prefix; grouped_rank; weighted
     # median; BM25 broadcast direction) — the driver must re-own these
@@ -72,7 +75,6 @@ _PRIORITY = [
     "asof_click_attribution", "rangejoin_click_windows",
     "user_value_trend", "ffill_user_values", "scd2_user_history",
     "hopping_hourly_30m", "funnel_view_click_purchase",
-    "cdc_upsert_events", "twa_user_value",
     # round-4/round-5-verified names follow in module order — freshest
     # rows, so they sit past the window by design
 ]
