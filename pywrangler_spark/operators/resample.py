@@ -98,6 +98,23 @@ def resample_locf(
         span = ev.groupBy(*groups).agg(
             F.min("_bucket_us").alias("_lo"), F.max("_bucket_us").alias("_hi")
         )
+        # the span table is tiny (one row per key) and its agg exchange
+        # is ENSURE_REQUIREMENTS, so AQE coalesces it by BYTES — to ONE
+        # partition — and then the explode below builds the ENTIRE
+        # keys x buckets grid, the broadcast join, the fill window AND
+        # the sink in a single task (measured: one 5.4 s task was the
+        # whole query at sf1). Two traps in the fix: a hash
+        # repartition(N, keys) identical to the child's partitioning is
+        # ELIDED by Catalyst as redundant, and ENSURE_REQUIREMENTS
+        # exchanges are always coalescible — so pin parallelism with a
+        # RANGE repartition (different partitioning -> survives;
+        # REPARTITION_BY_NUM -> AQE never coalesces it). Range on the
+        # keys still satisfies the fill window's clustering, so no
+        # further exchange downstream.
+        target = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+        span = span.repartitionByRange(target, *groups)
         grid = span.select(
             *groups,
             F.explode(
