@@ -71,3 +71,60 @@ def pack_sequences(
         )
 
     return _transform
+
+
+def render_packs(
+    text_column: str,
+    size_column: str,
+    order_columns: Union[str, Sequence[str]],
+    partition_columns: Union[str, Sequence[str]],
+    pack_column: str = "pack_id",
+    offset_column: str = "pack_offset",
+    joiner: str = " ",
+) -> Callable[[DataFrame], DataFrame]:
+    """Materialize the packs :func:`pack_sequences` assigned: one row
+    per (shard..., pack) holding the documents concatenated in pack
+    order plus the boundary offsets — the actual training-sequence
+    artifact a dataloader consumes (text + "where does each document
+    start" for attention masking / loss spans).
+
+    Output: partition columns, ``pack_column``, ``n_docs``,
+    ``n_tokens`` (sum of member sizes), ``boundaries``
+    (array<bigint> of member token offsets in order) and
+    ``packed_text``.
+
+    Scale shape: one hash aggregation keyed by (shard, pack) — packs
+    are budget-bounded (a handful of documents each), so the
+    collect_list state per group is small by construction; the shuffle
+    carries each document once. ``df.transform(render_packs("text",
+    "n_tokens", "doc_id", "shard"))`` after ``pack_sequences``.
+    """
+    order = list(ensure_iterable(order_columns))
+    parts = list(ensure_iterable(partition_columns))
+    if not order:
+        raise ValueError("render_packs requires order columns")
+    if not parts:
+        raise ValueError(
+            "render_packs requires the shard key used for packing"
+        )
+
+    def _transform(df: DataFrame) -> DataFrame:
+        member = F.struct(
+            *order, offset_column, text_column, size_column
+        )
+        grouped = df.groupBy(*parts, pack_column).agg(
+            F.array_sort(F.collect_list(member)).alias("_m"),
+            F.sum(size_column).cast("bigint").alias("n_tokens"),
+        )
+        return grouped.select(
+            *parts,
+            pack_column,
+            F.size("_m").cast("bigint").alias("n_docs"),
+            "n_tokens",
+            F.col("_m").getField(offset_column).alias("boundaries"),
+            F.array_join(
+                F.col("_m").getField(text_column), joiner
+            ).alias("packed_text"),
+        )
+
+    return _transform

@@ -363,6 +363,65 @@ def pack_docs_512(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- pack rendering: the materialized training sequences ------------------
+# render_packs after pack_sequences: one row per (shard, pack) with the
+# member documents concatenated in order and their boundary offsets —
+# what a dataloader actually reads. The oracle extends the packing CTE
+# with the same ordered aggregation.
+
+_PACK_RENDER_ORACLE = f"""
+WITH sig AS (
+    SELECT doc_id,
+           doc_id % 4 AS shard,
+           text,
+           CASE WHEN {_NORM_SQL} = '' THEN 0
+                ELSE len(string_split({_NORM_SQL}, ' ')) END AS n_tokens
+    FROM documents
+    WHERE text IS NOT NULL
+), c AS (
+    SELECT *,
+           COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+    FROM sig
+), p AS (
+    SELECT doc_id, shard, text, n_tokens,
+           CAST(FLOOR(cb / 512.0) AS BIGINT) AS pack_id,
+           CAST(cb - FLOOR(cb / 512.0) * 512 AS BIGINT) AS pack_offset
+    FROM c
+)
+SELECT shard, pack_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       list(pack_offset ORDER BY doc_id) AS boundaries,
+       string_agg(text, ' ' ORDER BY doc_id) AS packed_text
+FROM p
+GROUP BY shard, pack_id
+"""
+
+
+@register("pack_render_512", oracle=_PACK_RENDER_ORACLE)
+def pack_render_512(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized 512-token packs — ``operators.pack.render_packs``
+    over ``pack_sequences`` assignments."""
+    from pywrangler_spark.operators.pack import (
+        pack_sequences,
+        render_packs,
+    )
+
+    sig = _docs(spark, sf_dir).filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        (F.col("doc_id") % 4).alias("shard"),
+        "text",
+        token_count(F.col("text")).alias("n_tokens"),
+    )
+    return sig.transform(
+        pack_sequences("n_tokens", 512, "doc_id", "shard")
+    ).transform(
+        render_packs("text", "n_tokens", "doc_id", "shard")
+    )
+
+
 # ---- within-document repetition (Gopher-style quality filters) ------------
 # Scan-side array lambdas on both engines — no shuffle; the DuckDB twin
 # uses the identical list_transform/list_filter lambdas, so the counts

@@ -64,3 +64,46 @@ class TestPackSequences:
             pack_sequences("n", 100, "doc_id")
         with pytest.raises(ValueError, match="budget"):
             pack_sequences("n", 0, "doc_id", "s")
+
+
+class TestRenderPacks:
+    def _packed(self, spark):
+        from pyspark.sql import Row
+
+        from pywrangler_spark.operators.pack import (
+            pack_sequences,
+            render_packs,
+        )
+
+        rows = [
+            Row(doc_id=i, shard=i % 2, text=f"d{i}", n_tokens=n)
+            for i, n in enumerate([3, 4, 2, 5, 1, 6])
+        ]
+        df = spark.createDataFrame(rows)
+        return df.transform(
+            pack_sequences("n_tokens", 6, "doc_id", "shard")
+        ).transform(render_packs("text", "n_tokens", "doc_id", "shard"))
+
+    def test_members_concatenate_in_order(self, spark):
+        got = {
+            (r.shard, r.pack_id): (
+                r.n_docs,
+                r.n_tokens,
+                list(r.boundaries),
+                r.packed_text,
+            )
+            for r in self._packed(spark).collect()
+        }
+        # shard 0: docs 0(3),2(2),4(1) -> cum_before 0,3,5 -> all pack 0
+        assert got[(0, 0)] == (3, 6, [0, 3, 5], "d0 d2 d4")
+        # shard 1: docs 1(4),3(5),5(6) -> cum_before 0,4,9
+        assert got[(1, 0)] == (2, 9, [0, 4], "d1 d3")
+        assert got[(1, 1)] == (1, 6, [3], "d5")
+
+    def test_validation(self):
+        from pywrangler_spark.operators.pack import render_packs
+
+        with pytest.raises(ValueError, match="order columns"):
+            render_packs("text", "n", (), "shard")
+        with pytest.raises(ValueError, match="shard key"):
+            render_packs("text", "n", "doc_id", ())
