@@ -64,11 +64,25 @@ def fit_text_classifier(
     reg_param: float = 1e-4,
     max_iter: int = 50,
     seed: int = 42,
+    fit_partitions: int = 0,
 ):
     """Fit the classifier on labeled seed data. Returns
     ``(model, labels)``: the MLlib LogisticRegressionModel and the
-    ordered label list (string label -> model index)."""
+    ordered label list (string label -> model index).
+
+    ``fit_partitions``: coalesce the seed to this many partitions
+    before fitting (0 = leave as-is). Every L-BFGS iteration runs one
+    treeAggregate over the input, so per-iteration cost has a
+    tasks-per-pass floor. On local[32] this measured NEUTRAL (warm
+    A/B, the scheduler launches tiny tasks in microseconds); on a real
+    cluster, where a task round-trips the scheduler and executors, a
+    small labeled seed over hundreds of partitions pays that floor
+    per iteration — the knob exists for that deployment. Leave 0 when
+    the seed is genuinely large."""
     from pyspark.ml.classification import LogisticRegression
+
+    if fit_partitions:
+        df = df.coalesce(fit_partitions)
 
     labels = [
         r[label_column]
