@@ -376,6 +376,13 @@ def cosine_neardup_pairs(
 
     def _transform(df: DataFrame) -> DataFrame:
         base = _normed_vectors(df, id_column, vector_column)
+        # both cross-join sides reference this lineage, and Spark
+        # recomputes it per reference — for a text-derived input that
+        # means scanning + vectorizing the corpus TWICE (measured 6.5x
+        # at sf10 on the capped docvec tier, where the upstream filter
+        # keeps 2k docs out of 500k). The tier's contract is a capped
+        # input, so the normalized projection is bounded — persist it.
+        base = base.persist()
         a = base.select(F.col("_id").alias("id_a"),
                         F.col("_bv").alias("_va"), F.col("_bn").alias("_na"))
         b = base.select(F.col("_id").alias("id_b"),
