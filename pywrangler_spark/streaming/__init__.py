@@ -21,6 +21,7 @@ from pywrangler_spark.streaming.neardup import (
 from pywrangler_spark.streaming.join import stream_interval_join
 from pywrangler_spark.streaming.lmscore import stream_lm_score
 from pywrangler_spark.streaming.sink import idempotent_parquet_sink
+from pywrangler_spark.streaming.rolling import stream_trailing_window_agg
 from pywrangler_spark.streaming.rollup import stream_time_bucket_rollup
 from pywrangler_spark.streaming.sessionize import stream_session_stats
 
@@ -41,5 +42,6 @@ __all__ = [
     "stream_cap_per_key",
     "stream_chunk_content_defined",
     "stream_pack_sequences",
+    "stream_trailing_window_agg",
     "idempotent_parquet_sink",
 ]

@@ -1017,3 +1017,79 @@ class TestStreamingNearDupReplay:
             for r in spark.table("neardup_replay_sink").collect()
         }
         assert (1, 2) in pairs
+
+
+class TestStreamingTrailingWindow:
+    def test_matches_batch_on_ordered_stream(
+        self, spark, events_stream_dir
+    ):
+        from pywrangler_spark.operators.rolling import (
+            trailing_window_agg,
+        )
+        from pywrangler_spark.streaming import (
+            stream_trailing_window_agg,
+        )
+
+        ev = read_parquet(spark, f"{SF}/events.parquet").select(
+            "event_id", "user_id", "ts", "value"
+        )
+        batch = {
+            r.event_id: (
+                None if r.v7 is None else round(r.v7, 6),
+                r.n7,
+            )
+            for r in ev.transform(
+                trailing_window_agg(
+                    "ts",
+                    7 * 86400,
+                    "user_id",
+                    sums={"v7": F.col("value").cast("decimal(27,4)")},
+                    count_alias="n7",
+                )
+            )
+            .select(
+                "event_id",
+                F.col("v7").cast("double").alias("v7"),
+                "n7",
+            )
+            .collect()
+        }
+        streamed_df = _run_stream(
+            spark,
+            lambda sdf: sdf.select(
+                "event_id", "user_id", "ts", "value"
+            ).transform(
+                stream_trailing_window_agg(
+                    "ts", 7 * 86400, "user_id", {"v7": "value"}
+                )
+            ),
+            events_stream_dir,
+            read_parquet(spark, f"{SF}/events.parquet").schema,
+            "trailing_sink",
+        )
+        streamed = {
+            r.event_id: (
+                None if r.v7 is None or r.v7 != r.v7 else round(r.v7, 6),
+                r.n_trailing,
+            )
+            for r in streamed_df.collect()
+        }
+        assert len(streamed) == len(batch) >= 1000
+        mismatch = {
+            k: (streamed[k], batch[k])
+            for k in batch
+            if streamed[k] != batch[k]
+        }
+        assert not mismatch, list(mismatch.items())[:5]
+
+    def test_validation(self):
+        from pywrangler_spark.streaming import (
+            stream_trailing_window_agg,
+        )
+
+        with pytest.raises(ValueError, match="at least one column"):
+            stream_trailing_window_agg("ts", 60, [], {"s": "v"})
+        with pytest.raises(ValueError, match="sums"):
+            stream_trailing_window_agg("ts", 60, "k", {})
+        with pytest.raises(ValueError, match="trailing_seconds"):
+            stream_trailing_window_agg("ts", 0, "k", {"s": "v"})
