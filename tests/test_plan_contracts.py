@@ -88,3 +88,67 @@ class TestPlanContracts:
         df = QUERIES["decontaminate_docs"](spark, SF)
         tree = explain_string(df).split("\n\n")[0]
         assert "BroadcastHashJoin" in tree
+
+
+class TestRound6PlanContracts:
+    """Shapes that made the round-6 redesigns fast — pinned."""
+
+    def test_rolling_has_no_sliding_frame(self, spark):
+        # trailing_window_agg exists because bounded sliding frames
+        # re-aggregate per row; only growing/running frames may appear
+        df = QUERIES["rolling_7d_user_value"](spark, SF)
+        plan = explain_string(df)
+        assert "windowspecdefinition" in plan
+        # a bounded RANGE lower bound renders as a negative literal in
+        # the frame spec; running frames render unboundedpreceding$()
+        assert "unboundedpreceding$()" in plan
+        import re
+
+        assert not re.search(r"specifiedwindowframe\(RangeFrame, -\d", plan)
+
+    def test_grouped_rank_single_big_shuffle(self, spark):
+        # one range exchange over the data; offsets ride broadcasts;
+        # second-cheapest decomposition must stay in HashAggregate
+        df = QUERIES["window_rank_suite"](spark, SF)
+        plan = explain_string(df)
+        tree = plan.split("\n\n")[0]
+        assert "rangepartitioning" in plan
+        assert tree.count("BroadcastHashJoin") >= 3
+        assert "SortAggregate" not in plan
+
+    def test_quantiles_have_no_exact_collect_tier(self, spark):
+        # the weighted-median rewrite: no percentile() (collects every
+        # value per group); pairs + window + approx sketch only
+        df = QUERIES["approx_quantiles_prices"](spark, SF)
+        import re
+
+        plan = explain_string(df)
+        assert not re.search(r"(?<!approx_)percentile\(", plan)
+        assert "approx_percentile" in plan
+
+    def test_bm25_doclen_stays_stream_side(self, spark):
+        # corpus-sized doc lengths must never shuffle: the query-bound
+        # tf side broadcasts, and doc length is scan-side arithmetic
+        df = QUERIES["bm25_search_docs"](spark, SF)
+        plan = explain_string(df)
+        tree = plan.split("\n\n")[0]
+        assert tree.count("BroadcastHashJoin") >= 2
+        assert "SortMergeJoin" not in tree
+
+    def test_cdc_chunker_is_codegen_window_agg(self, spark):
+        # the 30x rewrite: no higher-order filter lambda in the plan;
+        # lag/sum windows + ObjectHashAggregate over ONE doc-keyed
+        # exchange (plus the _scale_out round robin)
+        df = QUERIES["chunk_docs_cdc"](spark, SF)
+        plan = explain_string(df)
+        assert "filter(" not in plan.split("\n\n")[0]
+        assert "ObjectHashAggregate" in plan
+        assert count_exchanges(df) <= 2
+
+    def test_resample_grid_parallelism_pinned(self, spark):
+        # the AQE-coalesce trap: the span aggregate feeding the grid
+        # explode must sit under a REPARTITION_BY_NUM range exchange
+        # (ENSURE_REQUIREMENTS would be coalesced to one task)
+        df = QUERIES["resample_hourly_locf"](spark, SF)
+        plan = explain_string(df)
+        assert "REPARTITION_BY_NUM" in plan
