@@ -826,3 +826,79 @@ def dedup_incremental_bloom(
 
     _transform.__name__ = "dedup_incremental_bloom"
     return _transform
+
+
+def cdc_chunk_neardup_pairs(
+    id_column: str,
+    text_column: str,
+    avg_tokens: int = 16,
+    min_shared: int = 2,
+    min_chunk_tokens: int = 5,
+    max_chunk_docs: int = 100,
+) -> Callable[[DataFrame], DataFrame]:
+    """Near-duplicate pairs by SHARED CONTENT-DEFINED CHUNKS — the dedup
+    application CDC chunking exists for (LBFS / storage-dedup
+    methodology at word granularity): because chunk boundaries re-align
+    immediately after an edit, two documents differing by an insertion
+    still share every chunk outside the edited region, where fixed
+    windows would share none past the edit.
+
+    Pipeline (all bounded, never all-pairs):
+
+    1. :func:`~pywrangler_spark.operators.chunk.chunk_content_defined`
+       fans each document into chunks; chunks shorter than
+       ``min_chunk_tokens`` are dropped (tiny chunks collide by
+       chance).
+    2. Chunks collapse to distinct ``(md5(chunk), doc)`` postings;
+       fingerprints held by one doc pair with nothing, and
+       fingerprints held by more than ``max_chunk_docs`` docs are
+       boilerplate (the hot-gram exclusion the span-dedup family also
+       applies) — dropping them bounds the join fanout at
+       ``max_chunk_docs**2`` pairs per fingerprint.
+    3. A self-join on the fingerprint emits candidate pairs; pairs
+       sharing at least ``min_shared`` chunks survive.
+
+    Output: ``(id_a, id_b, n_shared)`` with ``id_a < id_b``. Shuffles
+    carry fingerprints and ids only — never text.
+    """
+    if min_shared < 1:
+        raise ValueError("min_shared must be >= 1")
+    if max_chunk_docs < 2:
+        raise ValueError("max_chunk_docs must be >= 2")
+
+    def _transform(df: DataFrame) -> DataFrame:
+        from pywrangler_spark.operators.chunk import chunk_content_defined
+
+        chunks = df.transform(
+            chunk_content_defined(
+                id_column, text_column, avg_tokens=avg_tokens
+            )
+        )
+        postings = (
+            chunks.filter(F.col("n_tokens") >= min_chunk_tokens)
+            .select(
+                F.md5(F.col("chunk")).alias("_fp"),
+                F.col(id_column).alias("_doc"),
+            )
+            .distinct()
+        )
+        counts = postings.groupBy("_fp").agg(
+            F.count(F.lit(1)).alias("_n")
+        )
+        live = postings.join(
+            counts.filter(
+                (F.col("_n") >= 2) & (F.col("_n") <= max_chunk_docs)
+            ),
+            "_fp",
+            "left_semi",
+        )
+        a = live.select("_fp", F.col("_doc").alias("id_a"))
+        b = live.select("_fp", F.col("_doc").alias("id_b"))
+        pairs = a.join(b, "_fp").filter(F.col("id_a") < F.col("id_b"))
+        return (
+            pairs.groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .filter(F.col("n_shared") >= min_shared)
+        )
+
+    return _transform

@@ -48,6 +48,7 @@ from pywrangler_spark.queries import web as _web  # noqa: E402,F401
 _PRIORITY = [
     # new in round 6 — need a first driver row
     "webclean_docs", "url_canonical_domains", "pack_render_512",
+    "dedup_cdc_chunks",
     # rewritten in round 6 AFTER their last driver row (CDC chunker
     # explode+window+agg; rolling two-prefix; grouped_rank; weighted
     # median; BM25 broadcast direction) — the driver must re-own these
@@ -74,7 +75,6 @@ _PRIORITY = [
     "dedup_minhash_lsh", "sessionize_gap_1d", "multimodal_blob_stats",
     "asof_click_attribution", "rangejoin_click_windows",
     "user_value_trend", "ffill_user_values", "scd2_user_history",
-    "hopping_hourly_30m",
     # round-4/round-5-verified names follow in module order — freshest
     # rows, so they sit past the window by design
 ]

@@ -351,3 +351,70 @@ def dedup_incremental_bloom_docs(
     return batch.transform(
         dedup_incremental_bloom(seen, "doc_id", "text", fpp=0.01)
     ).select("doc_id")
+
+
+# ---- near-dup pairs by shared content-defined chunks -----------------------
+# The dedup application of CDC chunking: boundary re-alignment after
+# edits means near-identical docs share chunks outside the edit. The
+# oracle re-derives the identical chunk set (same cut rule as
+# chunk_docs_cdc), fingerprints chunks, applies the same >=2 /
+# <=max_chunk_docs posting band and shared-chunk floor.
+
+_CDC_NEARDUP_ORACLE = f"""
+WITH w AS (
+    SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws,
+           list_transform(
+               string_split({_NORM_SQL}, ' '),
+               t -> ('0x' || substr(md5(t), 1, 14))::BIGINT
+           ) AS th
+    FROM documents
+    WHERE text IS NOT NULL AND {_NORM_SQL} != ''
+), toks AS (
+    SELECT doc_id, ws, th, t.i AS pos
+    FROM w, UNNEST(range(1, len(ws) + 1)) AS t(i)
+), flagged AS (
+    SELECT doc_id, ws[pos] AS tok, pos,
+           CASE WHEN pos >= 2 AND
+                     (th[pos - 1] * 31 + th[pos]) % 16 = 0
+                THEN 1 ELSE 0 END AS cut
+    FROM toks
+), numbered AS (
+    SELECT doc_id, tok, pos,
+           CAST(sum(cut) OVER (PARTITION BY doc_id ORDER BY pos)
+                AS INT) AS chunk_index
+    FROM flagged
+), chunks AS (
+    SELECT doc_id, chunk_index,
+           string_agg(tok, ' ' ORDER BY pos) AS chunk,
+           count(*) AS n_tokens
+    FROM numbered
+    GROUP BY doc_id, chunk_index
+), postings AS (
+    SELECT DISTINCT md5(chunk) AS fp, doc_id
+    FROM chunks WHERE n_tokens >= 5
+), live AS (
+    SELECT fp, doc_id FROM postings
+    QUALIFY count(*) OVER (PARTITION BY fp) BETWEEN 2 AND 100
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM live a JOIN live b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= 2
+"""
+
+
+@register("dedup_cdc_chunks", oracle=_CDC_NEARDUP_ORACLE)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pywrangler_spark.operators.dedup import cdc_chunk_neardup_pairs
+
+    return _docs(spark, sf_dir).transform(
+        cdc_chunk_neardup_pairs(
+            "doc_id",
+            "text",
+            avg_tokens=16,
+            min_shared=2,
+            min_chunk_tokens=5,
+            max_chunk_docs=100,
+        )
+    )

@@ -196,3 +196,50 @@ class TestPercentileGate:
             percentile_gate({})
         with pytest.raises(ValueError, match="out of"):
             percentile_gate({"x": (0.1, 1.5)})
+
+
+class TestCdcNearDupPairs:
+    def test_insertion_still_pairs(self, spark):
+        """The CDC selling point end to end: a document with one
+        inserted token still shares its chunks outside the edit, so
+        the pair survives the shared-chunk floor."""
+        import random
+
+        from pyspark.sql import Row
+
+        from pywrangler_spark.operators.dedup import (
+            cdc_chunk_neardup_pairs,
+        )
+
+        rng = random.Random(13)
+        base = " ".join(f"w{rng.randrange(5000)}" for _ in range(400))
+        toks = base.split(" ")
+        edited = " ".join(toks[:200] + ["INSERTED"] + toks[200:])
+        unrelated = " ".join(
+            f"z{rng.randrange(5000)}" for _ in range(400)
+        )
+        df = spark.createDataFrame(
+            [
+                Row(doc_id=1, text=base),
+                Row(doc_id=2, text=edited),
+                Row(doc_id=3, text=unrelated),
+            ]
+        )
+        pairs = {
+            (r.id_a, r.id_b): r.n_shared
+            for r in df.transform(
+                cdc_chunk_neardup_pairs("doc_id", "text")
+            ).collect()
+        }
+        assert (1, 2) in pairs and pairs[(1, 2)] >= 2
+        assert not any(3 in p for p in pairs)
+
+    def test_validation(self):
+        from pywrangler_spark.operators.dedup import (
+            cdc_chunk_neardup_pairs,
+        )
+
+        with pytest.raises(ValueError, match="min_shared"):
+            cdc_chunk_neardup_pairs("id", "t", min_shared=0)
+        with pytest.raises(ValueError, match="max_chunk_docs"):
+            cdc_chunk_neardup_pairs("id", "t", max_chunk_docs=1)
