@@ -152,3 +152,11 @@ class TestRound6PlanContracts:
         df = QUERIES["resample_hourly_locf"](spark, SF)
         plan = explain_string(df)
         assert "REPARTITION_BY_NUM" in plan
+
+    def test_webclean_is_pure_projection(self, spark):
+        df = QUERIES["webclean_docs"](spark, SF)
+        assert count_exchanges(df) == 0
+
+    def test_url_domains_single_aggregation_exchange(self, spark):
+        df = QUERIES["url_canonical_domains"](spark, SF)
+        assert count_exchanges(df) <= 1
