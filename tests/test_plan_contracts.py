@@ -157,6 +157,9 @@ class TestRound6PlanContracts:
         df = QUERIES["webclean_docs"](spark, SF)
         assert count_exchanges(df) == 0
 
-    def test_url_domains_single_aggregation_exchange(self, spark):
+    def test_url_domains_two_phase_distinct_only(self, spark):
+        # countDistinct plans as the standard two-phase aggregate:
+        # exchange on (domain, url) then on (domain) — exactly those
+        # two, nothing corpus-shaped beyond the aggregation itself
         df = QUERIES["url_canonical_domains"](spark, SF)
-        assert count_exchanges(df) <= 1
+        assert count_exchanges(df) == 2
