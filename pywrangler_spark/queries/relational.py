@@ -1035,13 +1035,15 @@ def topk_expensive_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---- exact quantiles per group --------------------------------------------
-# Spark's exact `percentile` (linear interpolation between order stats)
-# matches DuckDB's quantile_cont definition; rounding to 4 dp guards the
-# one interpolation multiply. NOTE the scale story: exact percentile
-# requires a full sort of each group's values — at 100 TB you use
-# approx_percentile (t-digest, mergeable sketch, one pass) and accept
-# rank error; this query is the exact tier, `approx_distinct_parts` shows
-# the sketch tier for the analogous COUNT(DISTINCT).
+# quantile_cont semantics (linear interpolation between order stats)
+# WITHOUT per-group value materialization: `percentile()` collects every
+# raw value of a group into one reducer (326 MB into 3 tasks at sf10,
+# unbounded at 100 TB), so the exact tier computes the identical
+# interpolated statistic as a weighted median over distinct
+# (group, value) pairs — `operators.quantile.group_quantiles`. The
+# shuffle carries each distinct value once with its count; the only
+# sort is over distinct values. `approx_quantiles_prices` is the
+# sketch tier of the same statistic.
 
 _QUANTILES_ORACLE = """
 SELECT l_returnflag,
@@ -1055,15 +1057,17 @@ GROUP BY 1
 
 @register("quantiles_prices", oracle=_QUANTILES_ORACLE)
 def quantiles_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pywrangler_spark.operators.quantile import group_quantiles
+
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias(
-            "p50_price"
-        ),
-        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias(
-            "p90_price"
-        ),
-        F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("p50_qty"),
+    return li.transform(
+        group_quantiles(
+            ["l_extendedprice", "l_quantity"],
+            [[0.5, 0.9], [0.5]],
+            "l_returnflag",
+            output_columns=[["p50_price", "p90_price"], ["p50_qty"]],
+            round_digits=4,
+        )
     )
 
 

@@ -393,7 +393,8 @@ WITH sig AS (
 SELECT shard, pack_id,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
-       list(pack_offset ORDER BY doc_id) AS boundaries,
+       string_agg(CAST(pack_offset AS VARCHAR), ',' ORDER BY doc_id)
+           AS boundaries,
        string_agg(text, ' ' ORDER BY doc_id) AS packed_text
 FROM p
 GROUP BY shard, pack_id
@@ -415,10 +416,20 @@ def pack_render_512(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         token_count(F.col("text")).alias("n_tokens"),
     )
-    return sig.transform(
+    rendered = sig.transform(
         pack_sequences("n_tokens", 512, "doc_id", "shard")
     ).transform(
         render_packs("text", "n_tokens", "doc_id", "shard")
+    )
+    # The operator's boundaries column is array<bigint> (the API the
+    # golden tests cover); the driver gate canonicalizes via pandas
+    # sort_values, which cannot hash raw lists — render it as a
+    # comma-joined string for the oracle comparison.
+    return rendered.withColumn(
+        "boundaries",
+        F.array_join(
+            F.transform("boundaries", lambda x: x.cast("string")), ","
+        ),
     )
 
 

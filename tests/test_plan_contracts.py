@@ -126,6 +126,17 @@ class TestRound6PlanContracts:
         assert not re.search(r"(?<!approx_)percentile\(", plan)
         assert "approx_percentile" in plan
 
+    def test_exact_quantiles_have_no_percentile(self, spark):
+        # exact tier rides the same weighted-median machinery: the plan
+        # must carry distinct (group, value) pairs, never a percentile()
+        # buffer that materializes every group value in one reducer
+        df = QUERIES["quantiles_prices"](spark, SF)
+        import re
+
+        plan = explain_string(df)
+        assert not re.search(r"percentile\(", plan)
+        assert "ObjectHashAggregate" not in plan
+
     def test_bm25_doclen_stays_stream_side(self, spark):
         # corpus-sized doc lengths must never shuffle: the query-bound
         # tf side broadcasts, and doc length is scan-side arithmetic
