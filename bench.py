@@ -248,6 +248,10 @@ def main() -> None:
                 # one broken query must never zero the whole bench artifact
                 errors[name] = f"{type(exc).__name__}: {exc}"[:500]
                 timings.pop(name, None)
+                if read_stages:
+                    # re-baseline so the failed query's completed stages
+                    # are not attributed to the NEXT query's metrics
+                    seen_cache = set(read_stages())
                 continue
             elapsed = time.perf_counter() - t0
             improved = name not in timings or elapsed < timings[name]

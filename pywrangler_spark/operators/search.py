@@ -59,42 +59,43 @@ def bm25_search(
         raise ValueError("bm25_search requires at least one query term")
 
     def _transform(df: DataFrame) -> DataFrame:
-        toks = df.filter(F.col(text_column).isNotNull()).select(
+        # document length rides the explode projection — size(words())
+        # is scan-side arithmetic, so per-posting dl costs one extra
+        # column on the QUERY-BOUND shuffle (the term filter lands
+        # before the aggregation), and the corpus-sized doclen join of
+        # the first two versions disappears entirely. Nothing unbounded
+        # is ever broadcast: the round-6 version broadcast the tf side,
+        # whose size is bounded only by the query terms' document
+        # frequency — a stopword query term made it corpus-sized and
+        # the hint forced an un-spillable broadcast. Now tf stays a
+        # spillable shuffle aggregation and the only broadcasts are
+        # dfreq (≤ |query terms| rows) and stats (1 row).
+        base = df.filter(F.col(text_column).isNotNull()).select(
             F.col(id_column).alias("doc_id"),
-            F.explode(words(F.col(text_column))).alias("term"),
+            words(F.col(text_column)).alias("_ws"),
         )
-        # document lengths are size(words(text)) — pure scan-side
-        # arithmetic, zero shuffle. (The first version counted exploded
-        # tokens through a corpus-wide groupBy: a full extra pass over
-        # every token just to learn per-doc lengths.)
-        doclen = df.filter(F.col(text_column).isNotNull()).select(
-            F.col(id_column).alias("doc_id"),
-            F.size(words(F.col(text_column))).cast("double").alias("dl"),
-        )
-        stats = doclen.agg(
+        stats = base.agg(
             F.count(F.lit(1)).cast("double").alias("n_docs"),
-            F.avg("dl").alias("avgdl"),
+            F.avg(F.size("_ws").cast("double")).alias("avgdl"),
+        )
+        toks = base.select(
+            "doc_id",
+            F.size("_ws").cast("double").alias("dl"),
+            F.explode("_ws").alias("term"),
         )
         tf = (
             toks.filter(F.col("term").isin(terms))
             .groupBy("doc_id", "term")
-            .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+            .agg(
+                F.count(F.lit(1)).cast("double").alias("tf"),
+                F.max("dl").alias("dl"),
+            )
         )
         dfreq = tf.groupBy("term").agg(
             F.count(F.lit(1)).cast("double").alias("df")
         )
-        # join direction matters at scale: doclen is CORPUS-sized (one
-        # row per document), tf is query-bound (docs matching the
-        # query's terms). Broadcasting the tf side keeps doclen
-        # stream-side — zero exchange on the corpus table. Without the
-        # hint AQE broadcasts doclen while it is small and flips to a
-        # full shuffle join as the corpus grows (measured 9.8x wall at
-        # the sf1->sf10 decade before this fix).
         scored = (
-            doclen.join(
-                F.broadcast(tf.join(F.broadcast(dfreq), "term")),
-                "doc_id",
-            )
+            tf.join(F.broadcast(dfreq), "term")
             .join(F.broadcast(stats))
             .select(
                 "doc_id",

@@ -362,27 +362,45 @@ def topk_cosine_lsh(
     return _transform
 
 
-def cosine_neardup_pairs(
-    id_column: str,
-    vector_column: str,
-    threshold: float = 0.3,
-) -> Callable[[DataFrame], DataFrame]:
+class cosine_neardup_pairs:
     """All vector pairs with cosine ≥ threshold (exact, pairwise).
 
     Quadratic — the oracle/verification path. At scale, run
     :func:`topk_cosine_lsh` to generate candidates instead and verify only
     those. Output: (id_a, id_b, cosine), id_a < id_b.
+
+    Both cross-join sides reference the normalized projection and Spark
+    recomputes a lineage per reference — for a text-derived input that
+    means scanning + vectorizing the corpus TWICE (measured 6.5x at sf10
+    on the capped docvec tier). The tier's contract is a capped input,
+    so each ``__call__`` persists the projection; a lazy transform has
+    no natural unpersist point, so the instance keeps the handle and
+    :meth:`release` frees it once the result is consumed — the same
+    convention as :class:`~pywrangler_spark.operators.dedup.MinHashLSHPairs`
+    (``pipeline.PipelineCacher`` calls it for stage-owned caches).
     """
 
-    def _transform(df: DataFrame) -> DataFrame:
-        base = _normed_vectors(df, id_column, vector_column)
-        # both cross-join sides reference this lineage, and Spark
-        # recomputes it per reference — for a text-derived input that
-        # means scanning + vectorizing the corpus TWICE (measured 6.5x
-        # at sf10 on the capped docvec tier, where the upstream filter
-        # keeps 2k docs out of 500k). The tier's contract is a capped
-        # input, so the normalized projection is bounded — persist it.
+    def __init__(
+        self,
+        id_column: str,
+        vector_column: str,
+        threshold: float = 0.3,
+    ) -> None:
+        self.id_column = id_column
+        self.vector_column = vector_column
+        self.threshold = threshold
+        self._persisted: List[DataFrame] = []
+
+    def release(self) -> None:
+        """Unpersist every projection cache created by this instance
+        (blocking, so executor storage is freed before returning)."""
+        while self._persisted:
+            self._persisted.pop().unpersist(blocking=True)
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        base = _normed_vectors(df, self.id_column, self.vector_column)
         base = base.persist()
+        self._persisted.append(base)
         a = base.select(F.col("_id").alias("id_a"),
                         F.col("_bv").alias("_va"), F.col("_bn").alias("_na"))
         b = base.select(F.col("_id").alias("id_b"),
@@ -396,10 +414,8 @@ def cosine_neardup_pairs(
                 _cosine(F.col("_va"), F.col("_vb"),
                         F.col("_na"), F.col("_nb")).alias("cosine"),
             )
-            .filter(F.col("cosine") >= threshold)
+            .filter(F.col("cosine") >= self.threshold)
         )
-
-    return _transform
 
 
 # ---------------------------------------------------------------------------

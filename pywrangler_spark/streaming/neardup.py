@@ -30,6 +30,15 @@ copies for bounded state, the same hot-key discipline as the batch
 operator's distinct-signature collapse. Buckets never expire by
 default (near-dup is a whole-corpus contract); re-shard the corpus
 periodically if the bucket domain itself is unbounded.
+
+Replay idempotence: a re-ingested id emits nothing as long as it is
+remembered. Members remember themselves; docs that arrive while the
+bucket is full are remembered in a separate capped FIFO id window
+(``16 * max_bucket_size`` ids), so the guarantee is *idempotent for
+docs within the bucket capacity plus the overflow window* — a replay
+older than the window on a hot bucket re-emits that doc's pairs, and
+the idempotent sink keyed on ``(id_a, id_b)`` absorbs them, the same
+contract as cross-bucket duplicate emissions.
 """
 
 from __future__ import annotations
@@ -150,15 +159,23 @@ def stream_neardup_minhash(
             ).alias("b"),
         ).select("_id", "_sig", "b.band", "b.bh")
 
+        overflow_cap = 16 * max_bucket_size
+
         def _probe(
             key: Tuple,
             pdfs: Iterator[pd.DataFrame],
             state: GroupState,
         ) -> Iterator[pd.DataFrame]:
             if state.exists:
-                members = pickle.loads(bytes(state.get[0]))
+                stored = pickle.loads(bytes(state.get[0]))
+                if isinstance(stored, dict):
+                    members = stored["members"]
+                    overflow = stored["overflow"]
+                else:  # pre-overflow state layout: bare member list
+                    members, overflow = stored, []
             else:
                 members = []  # list of (id, signature ndarray)
+                overflow = []  # capped FIFO of ids seen past the cap
             batch = pd.concat(list(pdfs), ignore_index=True)
             # deterministic intra-batch order so replays emit the same
             # pairs (micro-batch row order is not guaranteed)
@@ -166,17 +183,16 @@ def stream_neardup_minhash(
             # membership is keyed by doc id: a re-ingested id has an
             # identical signature by construction, so appending it again
             # would only inflate state toward max_bucket_size (evicting
-            # capacity for genuinely new docs) and re-emit its pairs
-            seen_ids = {m[0] for m in members}
+            # capacity for genuinely new docs) and re-emit its pairs.
+            # Docs arriving while the bucket is full are remembered in
+            # the overflow id window so THEIR replays are no-ops too —
+            # up to overflow_cap ids (see module docstring).
+            seen_ids = {m[0] for m in members} | set(overflow)
             out_a, out_b, out_s = [], [], []
             for doc_id, sig in zip(
                 batch["_id"].to_numpy(), batch["_sig"].to_numpy()
             ):
                 if int(doc_id) in seen_ids:
-                    # re-ingested id: identical signature by
-                    # construction, pairs already emitted — a no-op
-                    # keeps replays idempotent and state bounded by
-                    # distinct documents
                     continue
                 sig = np.asarray(sig, dtype="int64")
                 if members:
@@ -192,8 +208,14 @@ def stream_neardup_minhash(
                         out_s.append(float(s))
                 if len(members) < max_bucket_size:
                     members.append((int(doc_id), sig))
+                else:
+                    overflow.append(int(doc_id))
                 seen_ids.add(int(doc_id))
-            state.update((pickle.dumps(members),))
+            if len(overflow) > overflow_cap:
+                overflow = overflow[-overflow_cap:]
+            state.update(
+                (pickle.dumps({"members": members, "overflow": overflow}),)
+            )
             if out_a:
                 yield pd.DataFrame(
                     {

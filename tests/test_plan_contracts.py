@@ -137,13 +137,22 @@ class TestRound6PlanContracts:
         assert not re.search(r"percentile\(", plan)
         assert "ObjectHashAggregate" not in plan
 
-    def test_bm25_doclen_stays_stream_side(self, spark):
-        # corpus-sized doc lengths must never shuffle: the query-bound
-        # tf side broadcasts, and doc length is scan-side arithmetic
+    def test_bm25_broadcasts_nothing_unbounded(self, spark):
+        # doc length rides the explode projection, so there is NO
+        # corpus-sized join at all; the only broadcast build sides are
+        # dfreq (≤ |query terms| rows) and the 1-row stats — the tf
+        # side (bounded only by the query terms' df; corpus-sized for
+        # a stopword term) must stay a spillable shuffle aggregation,
+        # never a broadcast build side.
         df = QUERIES["bm25_search_docs"](spark, SF)
         plan = explain_string(df)
         tree = plan.split("\n\n")[0]
-        assert tree.count("BroadcastHashJoin") >= 2
+        assert tree.count("BroadcastHashJoin") == 1  # dfreq only
+        # tf -> dfreq join keys on term; the probe side is the tf agg.
+        # A broadcast of tf would show a second BroadcastExchange over
+        # a HashAggregate keyed by doc_id — forbid >2 broadcasts total
+        # (dfreq + the 1-row stats nested-loop side).
+        assert tree.count("BroadcastExchange") <= 2
         assert "SortMergeJoin" not in tree
 
     def test_cdc_chunker_is_codegen_window_agg(self, spark):

@@ -855,6 +855,45 @@ class TestStreamingNearDup:
         # the planted copies must actually have produced pairs
         assert any(b >= 10_000 for _, b in streamed)
 
+    def test_overflow_replay_emits_nothing(self, spark, tmp_path_factory):
+        """Docs that arrive while a bucket is at max_bucket_size must
+        still be remembered (overflow id window): replaying them in a
+        later micro-batch emits zero new pairs."""
+        from pywrangler_spark.streaming import stream_neardup_minhash
+
+        base = str(tmp_path_factory.mktemp("neardup_overflow"))
+        text = "the quick brown fox jumps over the lazy dog again and again"
+        rows = [(i, text) for i in range(1, 5)]
+        first = spark.createDataFrame(rows, "doc_id long, text string")
+        replay = spark.createDataFrame(rows[2:], "doc_id long, text string")
+
+        def _make_dir(tag, *batches):
+            files_dir = os.path.join(base, f"files_{tag}")
+            os.makedirs(files_dir)
+            for n, batch_df in enumerate(batches):
+                tmp = os.path.join(base, f"{tag}_b{n}")
+                batch_df.coalesce(1).write.parquet(tmp)
+                for name in sorted(os.listdir(tmp)):
+                    if name.endswith(".parquet"):
+                        dest = os.path.join(files_dir, f"{n:03d}.parquet")
+                        shutil.copy(os.path.join(tmp, name), dest)
+                        os.utime(dest, (1_700_000_000 + n * 60,) * 2)
+            return files_dir
+
+        op = lambda: stream_neardup_minhash(  # noqa: E731
+            "doc_id", "text", max_bucket_size=2
+        )
+        baseline = _run_stream(
+            spark, op(), _make_dir("base", first),
+            "doc_id long, text string", "neardup_ovf_base",
+        ).count()
+        with_replay = _run_stream(
+            spark, op(), _make_dir("replay", first, replay),
+            "doc_id long, text string", "neardup_ovf_replay",
+        ).count()
+        assert baseline > 0  # overflow docs 3,4 paired against members
+        assert with_replay == baseline  # the replay batch added nothing
+
     def test_rejects_batch_frame(self, spark):
         from pywrangler_spark.streaming import stream_neardup_minhash
 
