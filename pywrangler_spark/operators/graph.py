@@ -37,6 +37,7 @@ def connected_components(
     id_column: str = "id",
     component_column: str = "component",
     max_iterations: int = 25,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Resolve an undirected edge list into components.
 
@@ -48,7 +49,9 @@ def connected_components(
     is re-used as-is every round (cache it upstream if it is the output
     of an expensive pipeline). Raises ``RuntimeError`` if not converged
     within ``max_iterations`` — for near-dup graphs the usual count is
-    2-4.
+    2-4. Pass a dict as ``stats`` to receive ``{"iterations": n}`` —
+    the scale telemetry that distinguishes "rounds grew with the graph"
+    (switch to the large-star/small-star variant) from host noise.
     """
     # materialize the edge list ONCE before mirroring it — the union
     # below references it twice, and an expensive upstream pipeline
@@ -68,7 +71,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
-    for _ in range(max_iterations):
+    for i in range(max_iterations):
         # message = neighbor labels; vertex keeps min(own, neighbors)
         msgs = adj.join(
             labels.withColumnRenamed("_v", "_n"), on="_n"
@@ -87,6 +90,8 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            if stats is not None:
+                stats["iterations"] = i + 1
             return labels.select(
                 F.col("_v").alias(id_column),
                 F.col("_lab").alias(component_column),

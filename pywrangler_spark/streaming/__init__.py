@@ -2,7 +2,14 @@
 
 from pywrangler_spark.streaming.caps import stream_cap_per_key
 from pywrangler_spark.streaming.chunk import stream_chunk_content_defined
-from pywrangler_spark.streaming.pack import stream_pack_sequences
+from pywrangler_spark.streaming.pack import (
+    stream_pack_sequences,
+    stream_render_packs,
+)
+from pywrangler_spark.streaming.web import (
+    stream_url_canonicalize,
+    stream_webclean,
+)
 from pywrangler_spark.streaming.cardinality import stream_window_cardinality
 from pywrangler_spark.streaming.classify import (
     stream_classify_gate,
@@ -42,6 +49,9 @@ __all__ = [
     "stream_cap_per_key",
     "stream_chunk_content_defined",
     "stream_pack_sequences",
+    "stream_render_packs",
+    "stream_url_canonicalize",
+    "stream_webclean",
     "stream_trailing_window_agg",
     "idempotent_parquet_sink",
 ]

@@ -1132,3 +1132,148 @@ class TestStreamingTrailingWindow:
             stream_trailing_window_agg("ts", 60, "k", {})
         with pytest.raises(ValueError, match="trailing_seconds"):
             stream_trailing_window_agg("ts", 0, "k", {"s": "v"})
+
+
+class TestStreamingWebHygiene:
+    def test_webclean_matches_batch(self, spark, docs_stream_dir):
+        from pywrangler_spark.functions.web import strip_html
+        from pywrangler_spark.streaming import stream_webclean
+
+        html = F.concat(
+            F.lit("<html><body><!-- c --><h1>T &amp; t</h1><p>"),
+            F.col("text"),
+            F.lit("</p><script>var x = 1 < 2;</script></body></html>"),
+        )
+        docs = read_parquet(spark, f"{SF}/documents.parquet")
+        batch = {
+            r["doc_id"]: r["clean_text"]
+            for r in docs.select(
+                "doc_id", strip_html(html).alias("clean_text")
+            ).collect()
+        }
+        streamed_df = _run_stream(
+            spark,
+            lambda sdf: sdf.withColumn("raw_html", html).transform(
+                stream_webclean("raw_html")
+            ).select("doc_id", "clean_text"),
+            docs_stream_dir,
+            docs.schema,
+            "webclean_sink",
+        )
+        streamed = {
+            r["doc_id"]: r["clean_text"] for r in streamed_df.collect()
+        }
+        assert len(streamed) == len(batch) >= 400
+        assert streamed == batch
+
+    def test_url_canonicalize_matches_batch(self, spark, docs_stream_dir):
+        from pywrangler_spark.functions.web import (
+            canonicalize_url,
+            registrable_domain,
+            url_host,
+        )
+        from pywrangler_spark.streaming import stream_url_canonicalize
+
+        url = F.concat(
+            F.lit("HTTPS://WWW.Example.CO.UK:443/p/"),
+            F.col("doc_id"),
+            F.lit("?utm_source=x&id=1#frag"),
+        )
+        docs = read_parquet(spark, f"{SF}/documents.parquet")
+        canon = canonicalize_url(url)
+        batch = {
+            r["doc_id"]: (r["canonical_url"], r["host"], r["domain"])
+            for r in docs.select(
+                "doc_id",
+                canon.alias("canonical_url"),
+                url_host(canon).alias("host"),
+                registrable_domain(url_host(canon)).alias("domain"),
+            ).collect()
+        }
+        streamed_df = _run_stream(
+            spark,
+            lambda sdf: sdf.withColumn("url", url).transform(
+                stream_url_canonicalize("url")
+            ).select("doc_id", "canonical_url", "host", "domain"),
+            docs_stream_dir,
+            docs.schema,
+            "urlcanon_sink",
+        )
+        streamed = {
+            r["doc_id"]: (r["canonical_url"], r["host"], r["domain"])
+            for r in streamed_df.collect()
+        }
+        assert streamed == batch
+
+
+class TestStreamingRenderPacks:
+    def test_closed_packs_match_batch(self, spark, docs_stream_dir):
+        from pywrangler_spark.functions.text import token_count
+        from pywrangler_spark.operators.pack import (
+            pack_sequences,
+            render_packs,
+        )
+        from pywrangler_spark.streaming import stream_render_packs
+
+        def _prep(df):
+            return df.filter(F.col("text").isNotNull()).select(
+                "doc_id",
+                (F.col("doc_id") % 4).alias("shard"),
+                "text",
+                token_count(F.col("text")).alias("n_tokens"),
+            )
+
+        docs = read_parquet(spark, f"{SF}/documents.parquet")
+        batch_df = (
+            _prep(docs)
+            .transform(pack_sequences("n_tokens", 512, "doc_id", "shard"))
+            .transform(render_packs("text", "n_tokens", "doc_id", "shard"))
+        )
+        batch = {
+            (r["shard"], r["pack_id"]): (
+                r["n_docs"], r["n_tokens"],
+                tuple(r["boundaries"]), r["packed_text"],
+            )
+            for r in batch_df.collect()
+        }
+        # each shard's LAST pack stays open on the stream and must not
+        # emit; everything else must match the batch rendering exactly
+        last_open = {
+            r["shard"]: r["pack_id"]
+            for r in batch_df.groupBy("shard")
+            .agg(F.max("pack_id").alias("pack_id"))
+            .collect()
+        }
+        streamed_df = _run_stream(
+            spark,
+            lambda sdf: _prep(sdf).transform(
+                stream_render_packs(
+                    "text", "n_tokens", 512, "doc_id", "shard"
+                )
+            ),
+            docs_stream_dir,
+            docs.schema,
+            "render_packs_sink",
+        )
+        streamed = {
+            (r["shard"], r["pack_id"]): (
+                r["n_docs"], r["n_tokens"],
+                tuple(r["boundaries"]), r["packed_text"],
+            )
+            for r in streamed_df.collect()
+        }
+        expected = {
+            k: v
+            for k, v in batch.items()
+            if k[1] != last_open[k[0]]
+        }
+        assert len(expected) >= 20
+        assert streamed == expected
+
+    def test_validation(self):
+        from pywrangler_spark.streaming import stream_render_packs
+
+        with pytest.raises(ValueError, match="budget"):
+            stream_render_packs("t", "n", 0, "id", "shard")
+        with pytest.raises(ValueError, match="shard key"):
+            stream_render_packs("t", "n", 512, "id", ())
