@@ -862,9 +862,17 @@ def docvec_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         topk_cosine_lsh,
     )
 
+    # Materialize the vector table ONCE: the gate's two tiers reference
+    # this lineage 4+ times (query collect + corpus side per tier), and
+    # Spark re-executes the text->vector aggregation per reference —
+    # measured as the top sf10 line (63.5 s) before the persist. A
+    # derived vector table is ~0.5% of corpus bytes (id + 64 doubles);
+    # materializing it is exactly what every production ANN system does
+    # before serving. The bench/gate clearCache() between queries frees
+    # it.
     vecs = _docs(spark, sf_dir).transform(
         hashed_doc_vectors("doc_id", "text", dim=64)
-    )
+    ).persist()
     # fixed query batch: the cap is a no-op at driver scales and
     # pins serving cost to (batch x corpus) at larger ones
     qf = (F.col("id") % 40 == 0) & (F.col("id") < 2000)
