@@ -78,13 +78,22 @@ def resample_locf(
 
         # one row per non-empty (group, bucket)
         if agg == "last":
-            # max_by is nondeterministic under timestamp ties; collapse
-            # ties with (ts, value) lexicographic max — deterministic
-            collapsed = ev.groupBy(*groups, "_bucket_us").agg(
-                F.max(F.struct(F.col("_ts_us"), F.col("_v")))["_v"].alias(
-                    "_bv"
-                ),
-                F.count(F.lit(1)).alias("n_events"),
+            # max_by is nondeterministic under timestamp ties, and the
+            # deterministic max(struct(ts, v)) form plans as a
+            # SortAggregate — TWO full sorts of the raw event stream
+            # (struct-typed buffers are not HashAggregate-able). Same
+            # answer in two HASH aggregates instead: collapse ties
+            # first (max value per distinct (group, bucket, ts) — all
+            # primitive buffers), then max_by over now-UNIQUE
+            # timestamps is deterministic and keeps its primitive
+            # buffer, so both stages stay HashAggregate.
+            ties = ev.groupBy(*groups, "_bucket_us", "_ts_us").agg(
+                F.max("_v").alias("_tv"),
+                F.count(F.lit(1)).alias("_tc"),
+            )
+            collapsed = ties.groupBy(*groups, "_bucket_us").agg(
+                F.max_by("_tv", "_ts_us").alias("_bv"),
+                F.sum("_tc").alias("n_events"),
             )
         else:
             collapsed = ev.groupBy(*groups, "_bucket_us").agg(
