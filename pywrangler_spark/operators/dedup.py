@@ -828,14 +828,7 @@ def dedup_incremental_bloom(
     return _transform
 
 
-def cdc_chunk_neardup_pairs(
-    id_column: str,
-    text_column: str,
-    avg_tokens: int = 16,
-    min_shared: int = 2,
-    min_chunk_tokens: int = 5,
-    max_chunk_docs: int = 100,
-) -> Callable[[DataFrame], DataFrame]:
+class cdc_chunk_neardup_pairs:
     """Near-duplicate pairs by SHARED CONTENT-DEFINED CHUNKS — the dedup
     application CDC chunking exists for (LBFS / storage-dedup
     methodology at word granularity): because chunk boundaries re-align
@@ -849,45 +842,81 @@ def cdc_chunk_neardup_pairs(
        fans each document into chunks; chunks shorter than
        ``min_chunk_tokens`` are dropped (tiny chunks collide by
        chance).
-    2. Chunks collapse to distinct ``(md5(chunk), doc)`` postings;
-       fingerprints held by one doc pair with nothing, and
-       fingerprints held by more than ``max_chunk_docs`` docs are
-       boilerplate (the hot-gram exclusion the span-dedup family also
-       applies) — dropping them bounds the join fanout at
-       ``max_chunk_docs**2`` pairs per fingerprint.
+    2. Chunks collapse to distinct ``(xxhash64(chunk), doc)`` postings
+       — an 8-byte fingerprint, not a 32-char digest string, since the
+       fingerprint is internal: the emitted PAIRS are identical for any
+       collision-free hash, and longs quarter the postings shuffle and
+       the self-join hash tables. Fingerprints held by one doc pair
+       with nothing, and fingerprints held by more than
+       ``max_chunk_docs`` docs are boilerplate (the hot-gram exclusion
+       the span-dedup family also applies) — dropping them bounds the
+       join fanout at ``max_chunk_docs**2`` pairs per fingerprint.
     3. A self-join on the fingerprint emits candidate pairs; pairs
        sharing at least ``min_shared`` chunks survive.
 
     Output: ``(id_a, id_b, n_shared)`` with ``id_a < id_b``. Shuffles
     carry fingerprints and ids only — never text.
-    """
-    if min_shared < 1:
-        raise ValueError("min_shared must be >= 1")
-    if max_chunk_docs < 2:
-        raise ValueError("max_chunk_docs must be >= 2")
 
-    def _transform(df: DataFrame) -> DataFrame:
+    The live postings table feeds the count filter AND both self-join
+    sides, and Spark re-executes a lineage per reference — measured as
+    FOUR chunking passes per call (44 s of which the chunker alone is
+    13 s at sf10). Each ``__call__`` therefore persists the bounded
+    postings table (8-byte fingerprint + id per posting); the instance
+    keeps the handle and :meth:`release` frees it once the result is
+    consumed — the same convention as :class:`MinHashLSHPairs`.
+    """
+
+    def __init__(
+        self,
+        id_column: str,
+        text_column: str,
+        avg_tokens: int = 16,
+        min_shared: int = 2,
+        min_chunk_tokens: int = 5,
+        max_chunk_docs: int = 100,
+    ) -> None:
+        if min_shared < 1:
+            raise ValueError("min_shared must be >= 1")
+        if max_chunk_docs < 2:
+            raise ValueError("max_chunk_docs must be >= 2")
+        self.id_column = id_column
+        self.text_column = text_column
+        self.avg_tokens = avg_tokens
+        self.min_shared = min_shared
+        self.min_chunk_tokens = min_chunk_tokens
+        self.max_chunk_docs = max_chunk_docs
+        self._persisted: List[DataFrame] = []
+
+    def release(self) -> None:
+        """Unpersist every postings cache created by this instance
+        (blocking, so executor storage is freed before returning)."""
+        while self._persisted:
+            self._persisted.pop().unpersist(blocking=True)
+
+    def __call__(self, df: DataFrame) -> DataFrame:
         from pywrangler_spark.operators.chunk import chunk_content_defined
 
         chunks = df.transform(
             chunk_content_defined(
-                id_column, text_column, avg_tokens=avg_tokens
+                self.id_column, self.text_column, avg_tokens=self.avg_tokens
             )
         )
         postings = (
-            chunks.filter(F.col("n_tokens") >= min_chunk_tokens)
+            chunks.filter(F.col("n_tokens") >= self.min_chunk_tokens)
             .select(
-                F.md5(F.col("chunk")).alias("_fp"),
-                F.col(id_column).alias("_doc"),
+                F.xxhash64(F.col("chunk")).alias("_fp"),
+                F.col(self.id_column).alias("_doc"),
             )
             .distinct()
+            .persist()
         )
+        self._persisted.append(postings)
         counts = postings.groupBy("_fp").agg(
             F.count(F.lit(1)).alias("_n")
         )
         live = postings.join(
             counts.filter(
-                (F.col("_n") >= 2) & (F.col("_n") <= max_chunk_docs)
+                (F.col("_n") >= 2) & (F.col("_n") <= self.max_chunk_docs)
             ),
             "_fp",
             "left_semi",
@@ -898,7 +927,5 @@ def cdc_chunk_neardup_pairs(
         return (
             pairs.groupBy("id_a", "id_b")
             .agg(F.count(F.lit(1)).alias("n_shared"))
-            .filter(F.col("n_shared") >= min_shared)
+            .filter(F.col("n_shared") >= self.min_shared)
         )
-
-    return _transform
