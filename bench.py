@@ -30,6 +30,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import shutil
 import subprocess
 import sys
 import tempfile
@@ -195,7 +196,10 @@ def isolated_main(names) -> None:
         raise SystemExit(f"unknown queries: {unknown}")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
-    runner = os.path.join(tempfile.gettempdir(), "bench_isolated_run.py")
+    # per-invocation temp dir: two concurrent isolated runs on the same
+    # host must not read each other's runner/result files
+    workdir = tempfile.mkdtemp(prefix="bench_isolated_")
+    runner = os.path.join(workdir, "bench_isolated_run.py")
     with open(runner, "w") as fh:
         fh.write(_ISOLATED_RUNNER)
 
@@ -203,7 +207,7 @@ def isolated_main(names) -> None:
     errors: dict = {}
     stage_metrics: dict = {}
     for i, name in enumerate(names):
-        out = os.path.join(tempfile.gettempdir(), "bench_isolated_q.json")
+        out = os.path.join(workdir, "bench_isolated_q.json")
         if os.path.exists(out):
             os.unlink(out)
         proc = subprocess.run(
@@ -251,6 +255,7 @@ def isolated_main(names) -> None:
     compact["n_queries"] = len(timings)
     compact["n_errors"] = len(errors)
     print(json.dumps(compact))
+    shutil.rmtree(workdir, ignore_errors=True)
 
 
 def _stage_metrics_reader(spark):

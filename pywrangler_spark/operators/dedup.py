@@ -34,6 +34,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from pywrangler_spark.functions.hashing import hash28, hash56
+from pywrangler_spark.util import tie_caches_to_result
 from pywrangler_spark.functions.text import (
     fingerprint,
     shingles_from_words,
@@ -189,7 +190,12 @@ class MinHashLSHPairs:
     persisted and :meth:`release` unpersists them once the result has
     been consumed (the same pattern ``pipeline.PipelineCacher`` uses for
     stage caches). Long-lived services: ``op = MinHashLSHPairs(...)``,
-    ``df.transform(op)``, act, then ``op.release()``.
+    ``df.transform(op)``, act, then ``op.release()``. The inline form
+    ``df.transform(MinHashLSHPairs(...))`` discards the instance, so the
+    caches are additionally tied to the RESULT's lifetime
+    (:func:`~pywrangler_spark.util.tie_caches_to_result`): when the
+    returned DataFrame is garbage-collected they unpersist automatically
+    — no ``clearCache()`` required.
 
     Output: (id_a, id_b, sig_similarity), id_a < id_b.
     """
@@ -339,7 +345,9 @@ class MinHashLSHPairs:
                 F.col("sig_similarity") >= min_signature_similarity
             )
         )
-        return cross.unionByName(within)
+        out = cross.unionByName(within)
+        tie_caches_to_result(out, self._persisted)
+        return out
 
 
 def minhash_lsh_pairs(
@@ -603,7 +611,9 @@ class SimHashNearPairs:
                 F.lit(0).cast("int").alias("hamming"),
             )
         )
-        return cross.unionByName(within)
+        out = cross.unionByName(within)
+        tie_caches_to_result(out, self._persisted)
+        return out
 
 
 def simhash_near_pairs(
@@ -863,7 +873,9 @@ class cdc_chunk_neardup_pairs:
     13 s at sf10). Each ``__call__`` therefore persists the bounded
     postings table (8-byte fingerprint + id per posting); the instance
     keeps the handle and :meth:`release` frees it once the result is
-    consumed — the same convention as :class:`MinHashLSHPairs`.
+    consumed — the same convention as :class:`MinHashLSHPairs`,
+    including the result-lifetime finalizer for the inline form
+    (:func:`~pywrangler_spark.util.tie_caches_to_result`).
     """
 
     def __init__(
@@ -924,8 +936,10 @@ class cdc_chunk_neardup_pairs:
         a = live.select("_fp", F.col("_doc").alias("id_a"))
         b = live.select("_fp", F.col("_doc").alias("id_b"))
         pairs = a.join(b, "_fp").filter(F.col("id_a") < F.col("id_b"))
-        return (
+        out = (
             pairs.groupBy("id_a", "id_b")
             .agg(F.count(F.lit(1)).alias("n_shared"))
             .filter(F.col("n_shared") >= self.min_shared)
         )
+        tie_caches_to_result(out, self._persisted)
+        return out

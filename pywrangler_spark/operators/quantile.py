@@ -127,11 +127,29 @@ def group_quantiles(
         return picked.select(*cols)
 
     def _transform(df: DataFrame) -> DataFrame:
-        result = _one_value(df, values[0], per_value_probs[0], output_columns[0])
+        # percentile() keeps a group whose value column is entirely NULL
+        # (its quantile is NULL); the isNotNull pre-filter in _one_value
+        # drops such groups, and with multiple value columns an inner
+        # join would drop a group from ALL outputs if it is missing for
+        # any one column. Left-join every per-value result onto the
+        # distinct-group spine so absent groups surface as NULL — the
+        # spine is a map-side-combinable hash aggregate over the group
+        # keys only, and each join is group-key to <=1 row per group.
+        # Joins are null-safe (<=>): groupBy treats NULL as a group, and
+        # EqualNullSafe is still an equi-join key for Spark's hash joins.
+        result = df.select(*groups).distinct()
+        renamed = {g: f"__gq_rg{i}" for i, g in enumerate(groups)}
         for value, probs, names in zip(
-            values[1:], per_value_probs[1:], output_columns[1:]
+            values, per_value_probs, output_columns
         ):
-            result = result.join(_one_value(df, value, probs, names), groups)
+            right = _one_value(df, value, probs, names).withColumnsRenamed(
+                renamed
+            )
+            cond = None
+            for g in groups:
+                c = F.col(g).eqNullSafe(F.col(renamed[g]))
+                cond = c if cond is None else cond & c
+            result = result.join(right, cond, "left").drop(*renamed.values())
         return result
 
     return _transform

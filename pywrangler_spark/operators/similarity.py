@@ -57,6 +57,7 @@ from pywrangler_spark.functions.vectors import (
     to_double_array,
 )
 from pywrangler_spark.operators.dedup import _scale_out
+from pywrangler_spark.util import tie_caches_to_result
 
 
 def _normed_vectors(df: DataFrame, id_column: str, vector_column: str,
@@ -382,7 +383,9 @@ class cosine_neardup_pairs:
     no natural unpersist point, so the instance keeps the handle and
     :meth:`release` frees it once the result is consumed — the same
     convention as :class:`~pywrangler_spark.operators.dedup.MinHashLSHPairs`
-    (``pipeline.PipelineCacher`` calls it for stage-owned caches).
+    (``pipeline.PipelineCacher`` calls it for stage-owned caches),
+    including the result-lifetime finalizer for the inline form
+    (:func:`~pywrangler_spark.util.tie_caches_to_result`).
     """
 
     def __init__(
@@ -410,7 +413,7 @@ class cosine_neardup_pairs:
                         F.col("_bv").alias("_va"), F.col("_bn").alias("_na"))
         b = base.select(F.col("_id").alias("id_b"),
                         F.col("_bv").alias("_vb"), F.col("_bn").alias("_nb"))
-        return (
+        out = (
             a.crossJoin(b)
             .filter(F.col("id_a") < F.col("id_b"))
             .select(
@@ -421,6 +424,8 @@ class cosine_neardup_pairs:
             )
             .filter(F.col("cosine") >= self.threshold)
         )
+        tie_caches_to_result(out, self._persisted)
+        return out
 
 
 # ---------------------------------------------------------------------------

@@ -132,3 +132,36 @@ class ColumnCacher:
             for cname, expr in self.columns.items():
                 df = df.withColumn(cname, expr)
         return df.withColumn(name, column)
+
+
+def tie_caches_to_result(result, persisted: list) -> None:
+    """Unpersist an operator's caches when ``result`` is garbage-collected.
+
+    The cached-operator convention (``MinHashLSHPairs`` and friends) is
+    ``op = Op(...); out = df.transform(op); ...; op.release()`` — but the
+    common inline form ``df.transform(Op(...))`` discards the instance,
+    making ``release()`` unreachable, and the caches then live until
+    ``spark.catalog.clearCache()`` (fine under the bench/gate harness, a
+    leak for library users). This registers a ``weakref.finalize`` on the
+    result DataFrame that drains the shared ``_persisted`` list once the
+    result object is unreachable.
+
+    Safety: unpersist only ever degrades to recompute — if a user derives
+    a new DataFrame from ``result`` and drops ``result`` itself, the
+    derived plan still computes correctly (the cache hit is simply lost).
+    An explicit ``release()`` beforehand empties the shared list, so the
+    finalizer is then a no-op. ``atexit`` is disabled: at interpreter
+    shutdown the JVM gateway may already be gone and the cache dies with
+    the session anyway.
+    """
+    import weakref
+
+    def _drain(caches=persisted):
+        while caches:
+            try:
+                caches.pop().unpersist(blocking=False)
+            except Exception:
+                pass
+
+    fin = weakref.finalize(result, _drain)
+    fin.atexit = False

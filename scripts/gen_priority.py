@@ -64,14 +64,23 @@ def round_commits() -> dict[int, str]:
 def green_rows() -> dict[str, tuple[int, str]]:
     """query -> (latest green round, 'hash'|'rows')."""
     best: dict[str, tuple[int, str]] = {}
-    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+    # sort by parsed round number, not lexicographically: from round 10 on
+    # 'r10' sorts between 'r1' and 'r2' and a name-ordered overwrite would
+    # regress the latest-green round
+    paths = sorted(
+        glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+    )
+    for path in paths:
         rnd = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
         with open(path) as fh:
             rows = json.load(fh)
         for name, row in rows.items():
             if row.get("err") is None and row.get("rows_match"):
                 level = "hash" if row.get("hash_match") else "rows"
-                best[name] = (rnd, level)
+                prev = best.get(name)
+                if prev is None or rnd > prev[0]:
+                    best[name] = (rnd, level)
     return best
 
 

@@ -73,6 +73,42 @@ class TestGroupQuantiles:
         (row,) = df.transform(group_quantiles("v", [0.5], "g")).collect()
         assert row["v_p50"] == 2.0  # percentile() also skips NULLs
 
+    def test_all_null_group_kept(self, spark):
+        # percentile() keeps a group whose values are all NULL (quantile
+        # NULL); the distinct-group spine must surface it the same way
+        df = spark.createDataFrame(
+            [("A", 1.0), ("A", 3.0), ("B", None), (None, 5.0)],
+            "g string, v double",
+        )
+        got = {
+            r["g"]: r["v_p50"]
+            for r in df.transform(group_quantiles("v", [0.5], "g")).collect()
+        }
+        want = {
+            r["g"]: r["p"]
+            for r in df.groupBy("g")
+            .agg(F.percentile("v", F.lit(0.5)).alias("p"))
+            .collect()
+        }
+        assert got.keys() == want.keys()  # includes "B" and the NULL key
+        assert got["B"] is None
+        assert got[None] == 5.0
+        assert got["A"] == want["A"]
+
+    def test_multi_value_partial_null_group(self, spark):
+        # group missing for ONE value column must not vanish from all
+        df = spark.createDataFrame(
+            [("A", 1.0, 10.0), ("B", None, 20.0)],
+            "g string, v double, w double",
+        )
+        got = {
+            r["g"]: (r["v_p50"], r["w_p50"])
+            for r in df.transform(
+                group_quantiles(["v", "w"], [0.5], "g")
+            ).collect()
+        }
+        assert got == {"A": (1.0, 10.0), "B": (None, 20.0)}
+
     def test_extreme_probabilities(self, spark):
         df = spark.createDataFrame(
             [("A", float(v)) for v in (5, 1, 9, 3)], "g string, v double"

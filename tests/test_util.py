@@ -33,3 +33,64 @@ class TestColumnCacher:
 
         with _pytest.raises(ValueError, match="mode"):
             ColumnCacher(None, mode="eager")
+
+
+class TestTieCachesToResult:
+    """Cache lifetime tied to the result DataFrame: the inline
+    ``df.transform(Op(...))`` form discards the operator instance, so
+    release() is unreachable — the weakref finalizer must unpersist the
+    operator's caches once the result object is garbage-collected."""
+
+    def test_gc_drains_caches(self, spark):
+        import gc
+
+        from pywrangler_spark.util import tie_caches_to_result
+
+        cached = spark.range(10).persist()
+        cached.count()
+        persisted = [cached]
+        result = cached.selectExpr("id * 2 AS x")
+        tie_caches_to_result(result, persisted)
+        assert cached.storageLevel.useMemory  # live while result is
+        del result
+        gc.collect()
+        assert persisted == []
+        assert not cached.storageLevel.useMemory
+
+    def test_explicit_release_first_is_noop(self, spark):
+        import gc
+
+        from pywrangler_spark.util import tie_caches_to_result
+
+        cached = spark.range(10).persist()
+        cached.count()
+        persisted = [cached]
+        result = cached.selectExpr("id AS x")
+        tie_caches_to_result(result, persisted)
+        persisted.pop().unpersist(blocking=True)  # the release() path
+        del result
+        gc.collect()  # finalizer fires on the empty shared list: no-op
+
+    def test_inline_operator_caches_freed(self, spark):
+        import gc
+
+        from pywrangler_spark.operators.similarity import (
+            cosine_neardup_pairs,
+        )
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])],
+            "id int, v array<double>",
+        )
+        # inline form: the instance is discarded immediately
+        out = df.transform(cosine_neardup_pairs("id", "v", threshold=0.9))
+        assert out.count() == 1
+
+        def n_cached():
+            return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+        before = n_cached()
+        assert before >= 1
+        del out
+        gc.collect()
+        assert n_cached() < before
