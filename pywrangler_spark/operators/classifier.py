@@ -65,6 +65,7 @@ def fit_text_classifier(
     max_iter: int = 50,
     seed: int = 42,
     fit_partitions: int = 0,
+    max_fit_rows: int = 0,
 ):
     """Fit the classifier on labeled seed data. Returns
     ``(model, labels)``: the MLlib LogisticRegressionModel and the
@@ -78,7 +79,21 @@ def fit_text_classifier(
     cluster, where a task round-trips the scheduler and executors, a
     small labeled seed over hundreds of partitions pays that floor
     per iteration — the knob exists for that deployment. Leave 0 when
-    the seed is genuinely large."""
+    the seed is genuinely large.
+
+    ``max_fit_rows``: cap the fit on a per-label-stratified sample of at
+    most this many rows total (0 = fit on everything). The IVF-centroid
+    precedent (``similarity.train_ivf_centroids``): model quality needs
+    a bounded sample, not the corpus — every L-BFGS iteration is a full
+    treeAggregate pass over the fit input, so an uncapped fit grows
+    linearly with corpus scale while the learned linear model stops
+    changing (holdout-equivalence table in SCALE.md: accuracy identical
+    at caps 2k/8k/32k vs the full fit at 10x scale). The sample is
+    ``sampling.cap_per_key`` over the label column in md5-hash order of
+    the TEXT — deterministic across engines, reruns and partitionings,
+    and uniform within each label. Label discovery still runs on the
+    full input, so rare labels are never silently dropped (each label
+    keeps up to ``max_fit_rows // n_labels`` rows)."""
     from pyspark.ml.classification import LogisticRegression
 
     if fit_partitions:
@@ -94,6 +109,15 @@ def fit_text_classifier(
     if len(labels) < 2:
         raise ValueError(
             f"need >= 2 distinct labels, got {len(labels)}"
+        )
+    if max_fit_rows:
+        from pywrangler_spark.operators.sampling import cap_per_key
+
+        per_label = max(1, max_fit_rows // len(labels))
+        df = df.transform(
+            cap_per_key(
+                label_column, per_label, id_column=text_column, seed=seed
+            )
         )
     idx = {v: float(i) for i, v in enumerate(labels)}
     mapping = F.create_map(

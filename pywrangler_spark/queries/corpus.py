@@ -388,7 +388,26 @@ def classifier_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distill the unigram-LM quality filter into a hashed-bigram
     logistic classifier (the standard trained-quality-filter recipe:
     cheap-label seed -> model that generalizes): median-split LM scores
-    label the corpus, even doc_ids train, odd doc_ids evaluate."""
+    label the corpus, even doc_ids train, odd doc_ids evaluate.
+
+    Scale shape (the two round-8 fixes, before/after in SCALE.md):
+
+    - the TEACHER LABEL TABLE ``(doc_id, qlabel)`` is persisted once —
+      ~0.1% of corpus bytes. The teacher lineage (vocab aggregate + LM
+      scoring + median) previously re-ran per consumer (label
+      discovery, fit featurization, holdout scoring), ~12 tokenizing
+      corpus scans per gate call — the multi-referenced-lineage trap;
+    - the FIT runs on a per-label-stratified 64k-row capped sample
+      (``max_fit_rows``), not the full even half: every L-BFGS
+      iteration is a treeAggregate over the fit input, so the uncapped
+      fit grows linearly with the corpus while the model stops
+      changing. Holdout table (scripts/classifier_cap_probe.py):
+      64k cap = 0.994/0.996/0.976 at sf0.1/sf1/sf10 vs 0.996 full —
+      the residual sf10 gap is token-coverage against this synthetic
+      corpus's linearly-growing vocabulary (key-shifted replication);
+      natural corpora grow vocabulary ~sqrt(n) (Heaps), favoring the
+      cap more strongly at 100 TB.
+    """
     from pywrangler_spark.operators.classifier import (
         fit_text_classifier,
         score_text_classifier,
@@ -397,6 +416,7 @@ def classifier_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         fit_unigram_model,
         unigram_logprob_score,
     )
+    from pywrangler_spark.util import tie_caches_to_result
 
     docs = _docs(spark, sf_dir)
     lm = docs.transform(fit_unigram_model("text", vocab_size=20))
@@ -406,16 +426,17 @@ def classifier_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     med_df = scored.agg(
         F.expr("percentile(lm_score, 0.5D)").alias("_med")
     )
-    labeled = (
+    label_tbl = (
         scored.crossJoin(F.broadcast(med_df))
-        .withColumn(
-            "qlabel",
+        .select(
+            "doc_id",
             F.when(
                 F.col("lm_score") <= F.col("_med"), "keep"
-            ).otherwise("drop"),
+            ).otherwise("drop").alias("qlabel"),
         )
-        .drop("_med")
+        .persist()
     )
+    labeled = docs.select("doc_id", "text").join(label_tbl, "doc_id")
     train = labeled.filter(F.col("doc_id") % 2 == 0)
     test = labeled.filter(F.col("doc_id") % 2 == 1)
     # unigram features: the teacher label is a unigram-frequency
@@ -425,14 +446,15 @@ def classifier_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 10 L-BFGS iterations converge on this task (0.995 holdout at
     # 10/20/50 iters measured at sf0.1); more is pure fit wall-time
     model, labels = fit_text_classifier(
-        train, "qlabel", n_features=1 << 16, bigrams=False, max_iter=10
+        train, "qlabel", n_features=1 << 16, bigrams=False, max_iter=10,
+        max_fit_rows=64_000,
     )
     out = test.transform(
         score_text_classifier(
             model, labels, n_features=1 << 16, bigrams=False
         )
     )
-    return out.agg(
+    out = out.agg(
         F.count(F.lit(1)).alias("n_eval"),
         (
             F.avg(
@@ -443,6 +465,8 @@ def classifier_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             >= 0.8
         ).alias("acc_ok"),
     )
+    tie_caches_to_result(out, [label_tbl])
+    return out
 
 
 # ---- interpolated bigram LM scoring ----------------------------------------

@@ -294,6 +294,30 @@ class TestQualityClassifier:
         with _pytest.raises(ValueError, match="labels"):
             fit_text_classifier(df, "label")
 
+    def test_capped_fit_keeps_rare_labels_and_is_deterministic(self, spark):
+        """max_fit_rows stratifies per label: a label with few rows must
+        survive an aggressive cap (label discovery runs uncapped, the
+        per-label quota keeps >=1 row each), and the hash-ordered sample
+        makes the fitted coefficients reproducible across runs."""
+        from pywrangler_spark.operators.classifier import (
+            fit_text_classifier,
+        )
+
+        rows = [(i, f"common tok{i % 7} filler", "big") for i in range(60)]
+        rows += [(100 + i, f"rare special w{i}", "small") for i in range(3)]
+        df = spark.createDataFrame(rows, ["doc_id", "text", "label"])
+
+        def coeffs():
+            model, labels = fit_text_classifier(
+                df, "label", n_features=1 << 10, bigrams=False,
+                max_iter=5, max_fit_rows=10,
+            )
+            assert labels == ["big", "small"]
+            return model.coefficientMatrix.toArray().tolist()
+
+        first = coeffs()
+        assert first == coeffs()  # deterministic sample -> same fit
+
 
 class TestMixExecution:
     def test_budgets_respected_and_deterministic(self, spark):
