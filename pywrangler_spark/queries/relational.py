@@ -1195,6 +1195,131 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- bucketed fact-fact twins (q21 / q12 on a co-located layout) ----------
+# The recurring lineitem x orders join is THE fact-fact shuffle of this
+# schema: q21 and q12 both pay a full exchange of both sides on orderkey
+# every run. Bucketing both tables by orderkey into the same bucket count
+# (sources/bucketed.py) pays that shuffle ONCE at write time; every
+# subsequent join reads co-located, bucket-sorted files and plans with
+# ZERO shuffle Exchange under the join (asserted in
+# tests/test_plan_contracts.py). These twins run the exact q21/q12 logic
+# on that layout against the same oracles — the measured end-to-end
+# demonstration that at 100 TB a recurring fact-fact join is a layout
+# decision, not a per-query cost. One layout serves both queries (and
+# q21's two orderkey aggregations ride the bucket partitioning too — its
+# only shuffle is the final tiny s_name aggregate).
+
+_FACT_BUCKETS = 128  # see _ensure_bucketed_facts docstring
+
+
+def _ensure_bucketed_facts(spark: SparkSession, sf_dir: str) -> tuple:
+    """Write lineitem/orders as orderkey-bucketed catalog tables for this
+    sf_dir if this session has not already done so; returns table names.
+
+    The write is the one-time layout cost (a single shuffle-by-orderkey
+    write per table lifetime, amortized over every recurring join); the
+    session catalog remembers the layout, so repeated queries in a
+    session — the recurring-join model — pay zero exchanges. Projected
+    to the columns the q21/q12 family needs to keep the local write
+    cheap; production buckets the full fact table once for all queries.
+    """
+    import re as _re
+
+    from pywrangler_spark.sources import write_bucketed_table
+
+    tag = _re.sub(r"\W+", "_", os.path.basename(sf_dir.rstrip("/")))
+    li_tbl, o_tbl = f"lineitem_bkt_{tag}", f"orders_bkt_{tag}"
+    if not spark.catalog.tableExists(li_tbl):
+        li = _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_suppkey", "l_shipdate", "l_linestatus"
+        )
+        write_bucketed_table(
+            li, li_tbl, "l_orderkey", _FACT_BUCKETS,
+            sort_columns="l_orderkey",
+        )
+    if not spark.catalog.tableExists(o_tbl):
+        orders = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderdate", "o_orderpriority"
+        )
+        write_bucketed_table(
+            orders, o_tbl, "o_orderkey", _FACT_BUCKETS,
+            sort_columns="o_orderkey",
+        )
+    return li_tbl, o_tbl
+
+
+@register("q21_waiting_supplier_bucketed", oracle=_Q21_ORACLE)
+def q21_waiting_supplier_bucketed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q21 on the orderkey-bucketed layout: the lineitem x orders join
+    AND both per-orderkey aggregations reuse the storage partitioning —
+    the only shuffle left is the final tiny s_name aggregate."""
+    from pywrangler_spark.sources import read_table
+
+    li_tbl, o_tbl = _ensure_bucketed_facts(spark, sf_dir)
+    orders = read_table(spark, o_tbl).select("o_orderkey", "o_orderdate")
+    li = read_table(spark, li_tbl).select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = (
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    flagged = (
+        li.hint("merge")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(F.when(late, 1).otherwise(0)).alias("is_late"))
+    )
+    per_order = flagged.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("is_late").alias("n_late"),
+        F.max(F.when(F.col("is_late") == 1, F.col("l_suppkey"))).alias(
+            "late_supp"
+        ),
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        per_order.filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .join(F.broadcast(supp), F.col("late_supp") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@register("q12_late_shipments_bucketed", oracle=_Q12_ORACLE)
+def q12_late_shipments_bucketed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q12 on the same orderkey-bucketed layout as the q21 twin (one
+    layout, many queries): the large-large join is exchange-free; the
+    only shuffle is the 2-group final aggregate."""
+    from pywrangler_spark.sources import read_table
+
+    li_tbl, o_tbl = _ensure_bucketed_facts(spark, sf_dir)
+    orders = read_table(spark, o_tbl).select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = read_table(spark, li_tbl).select(
+        "l_orderkey", "l_linestatus", "l_shipdate"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.hint("merge")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
 # ---- unpivot / melt -------------------------------------------------------
 # Wide -> long via the native DataFrame.unpivot (Expand under the hood:
 # each row emits one output row per value column, scan-side, no shuffle

@@ -39,6 +39,13 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # naive parquet timestamps scan as TimestampType, not TIMESTAMP_NTZ
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # honor sortBy order of bucketed tables (off by default since
+        # 3.1 because it needs an eager file listing): the engine's
+        # bucket writer guarantees one file per bucket, which is the
+        # layout this flag exists for — a bucket-sorted fact-fact merge
+        # join then plans with neither Exchange NOR Sort; multi-file
+        # buckets just fall back to sorting, no correctness risk
+        .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
         .config("spark.ui.enabled", "false")
     )
     for key, value in (extra_conf or {}).items():

@@ -183,3 +183,22 @@ class TestRound6PlanContracts:
         # two, nothing corpus-shaped beyond the aggregation itself
         df = QUERIES["url_canonical_domains"](spark, SF)
         assert count_exchanges(df) == 2
+
+    @pytest.mark.parametrize(
+        "name",
+        ["q21_waiting_supplier_bucketed", "q12_late_shipments_bucketed"],
+    )
+    def test_bucketed_fact_join_zero_exchange_zero_sort(self, spark, name):
+        # the co-located layout's whole contract: the lineitem x orders
+        # sort-merge join runs on bucket-sorted storage partitioning —
+        # no Exchange AND no Sort anywhere under it; the single shuffle
+        # left is the tiny final aggregate (2 line statuses / ~10
+        # supplier names)
+        df = QUERIES[name](spark, SF)
+        plan = explain_string(df)
+        tree = plan.split("== Initial Plan ==")[0].split("\n\n")[0]
+        assert count_exchanges(df) == 1, tree
+        assert "SortMergeJoin" in tree, tree
+        assert "Sort (" not in tree, tree
+        # both fact scans must actually use the bucket layout
+        assert plan.count("Bucketed: true") >= 2, plan[:2000]
