@@ -44,13 +44,29 @@ def resample_locf(
     groupby_columns: Union[str, Sequence[str]],
     value_column: str,
     agg: str = "last",
+    output: str = "dense",
 ) -> Callable[[DataFrame], DataFrame]:
     """One row per (group, bucket) from each group's first to last event
     bucket; buckets with no events carry the previous bucket's value
     forward (LOCF). Use as ``df.transform(resample_locf(...))``.
 
-    Output: groups + ``bucket_start`` (timestamp), ``<value_column>``
-    (bucket aggregate, LOCF-filled), ``n_events`` (0 for filled rows).
+    Output (``output="dense"``): groups + ``bucket_start`` (timestamp),
+    ``<value_column>`` (bucket aggregate, LOCF-filled), ``n_events``
+    (0 for filled rows).
+
+    ``output="runs"``: the same information run-length encoded — one
+    row per NON-EMPTY bucket: groups + ``valid_from`` / ``valid_to``
+    (inclusive bucket range over which the carried value holds),
+    ``<value_column>``, ``n_events`` (the opening bucket's event
+    count). The dense grid is a VIEW over this
+    (:func:`runs_to_dense` expands it exactly), but the runs form is
+    sized by the EVENTS, not by keys × grid density — the dense
+    keys×buckets grid is the operator's one linear output floor
+    (80 M rows at sf10 for the hourly gate), and every consumer that
+    doesn't need the explicit grid (as-of joins, change feeds,
+    interval analytics) should take runs. Plan: the grid explode, the
+    grid join and one exchange disappear — two hash aggregates and one
+    window, all on event-sized data.
 
     ``agg``: how concurrent events inside one bucket collapse before the
     fill — "last" (by timestamp, ties broken arbitrarily-but-
@@ -63,6 +79,8 @@ def resample_locf(
         raise ValueError(f"step_seconds must be > 0, got {step_seconds}")
     if agg not in ("last", "sum", "avg", "min", "max"):
         raise ValueError(f"unsupported agg {agg!r}")
+    if output not in ("dense", "runs"):
+        raise ValueError(f"output must be 'dense' or 'runs', got {output!r}")
     step_us = int(step_seconds) * 1_000_000
 
     def _transform(df: DataFrame) -> DataFrame:
@@ -99,6 +117,30 @@ def resample_locf(
             collapsed = ev.groupBy(*groups, "_bucket_us").agg(
                 getattr(F, agg)("_v").alias("_bv"),
                 F.count(F.lit(1)).alias("n_events"),
+            )
+
+        if output == "runs":
+            # run-length form: each non-empty bucket opens a run that
+            # holds until the bucket before the group's next non-empty
+            # bucket (the last run closes on its own bucket — the dense
+            # grid ends at the group's max event bucket). A bucket whose
+            # aggregate is NULL (all-NULL values) does not reset the
+            # carry in dense mode (last ignorenulls), so the run VALUE
+            # is the running LOCF over collapsed buckets — lead and the
+            # fill share one Window exec (same partitioning + ordering).
+            wo = Window.partitionBy(*groups).orderBy("_bucket_us")
+            wrun = wo.rowsBetween(Window.unboundedPreceding, 0)
+            nxt = F.lead("_bucket_us").over(wo)
+            return collapsed.select(
+                *groups,
+                F.timestamp_micros(F.col("_bucket_us")).alias("valid_from"),
+                F.timestamp_micros(
+                    F.coalesce(nxt - step_us, F.col("_bucket_us"))
+                ).alias("valid_to"),
+                F.last("_bv", ignorenulls=True).over(wrun).alias(
+                    value_column
+                ),
+                F.col("n_events"),
             )
 
         # grid built from the per-key span aggregate — sequences of LONG
@@ -151,4 +193,54 @@ def resample_locf(
         )
 
     _transform.__name__ = "resample_locf"
+    return _transform
+
+
+def runs_to_dense(
+    step_seconds: int,
+    groupby_columns: Union[str, Sequence[str]],
+    value_column: str,
+) -> Callable[[DataFrame], DataFrame]:
+    """Expand a ``resample_locf(..., output="runs")`` result into the
+    dense grid — exactly the rows ``output="dense"`` would produce
+    (equivalence property-tested). The explode is computed where the
+    run row lives (no shuffle added); ``n_events`` lands on each run's
+    opening bucket and 0 elsewhere.
+
+    This is the "dense grid as a view" direction: store/ship runs,
+    expand only at the consumer that genuinely needs one row per
+    (key, bucket)."""
+    groups = list(ensure_iterable(groupby_columns))
+    if not groups:
+        raise ValueError("runs_to_dense requires groupby_columns")
+    if step_seconds <= 0:
+        raise ValueError(f"step_seconds must be > 0, got {step_seconds}")
+    step_us = int(step_seconds) * 1_000_000
+
+    def _transform(runs: DataFrame) -> DataFrame:
+        lo = epoch_micros("valid_from")
+        hi = epoch_micros("valid_to")
+        expanded = runs.select(
+            *groups,
+            lo.alias("_lo_us"),
+            F.explode(
+                F.sequence(
+                    F.expr(f"unix_micros(valid_from) div {step_us}L"),
+                    F.expr(f"unix_micros(valid_to) div {step_us}L"),
+                )
+            ).alias("_bidx"),
+            F.col(value_column).alias("_rv"),
+            F.col("n_events").alias("_rn"),
+        )
+        bucket_us = F.col("_bidx") * step_us
+        return expanded.select(
+            *groups,
+            F.timestamp_micros(bucket_us).alias("bucket_start"),
+            F.col("_rv").alias(value_column),
+            F.when(bucket_us == F.col("_lo_us"), F.col("_rn"))
+            .otherwise(F.lit(0))
+            .alias("n_events"),
+        )
+
+    _transform.__name__ = "runs_to_dense"
     return _transform

@@ -794,6 +794,54 @@ def resample_hourly_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# runs mode: the same LOCF series run-length encoded — one row per
+# non-empty bucket, valid through the bucket before the group's next
+# non-empty bucket. Output is sized by the EVENTS (distinct event
+# buckets), not keys x grid density: the dense 80M-row grid at sf10 is
+# the dense mode's honest linear floor, and consumers that don't need
+# the explicit grid take this form (dense derivable via runs_to_dense,
+# equivalence property-tested).
+_RESAMPLE_RUNS_ORACLE = """
+WITH ev AS (
+    SELECT user_id,
+           CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 3600000000.0)
+                AS BIGINT) * 3600000000 AS b,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+           "value" AS v
+    FROM events
+), collapsed AS (
+    SELECT DISTINCT user_id, b,
+           last_value(v) OVER (
+               PARTITION BY user_id, b ORDER BY tus, v
+               ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND UNBOUNDED FOLLOWING) AS bv,
+           COUNT(*) OVER (PARTITION BY user_id, b) AS n_events
+    FROM ev
+)
+SELECT user_id,
+       make_timestamp(b) AS valid_from,
+       make_timestamp(COALESCE(
+           lead(b) OVER (PARTITION BY user_id ORDER BY b) - 3600000000,
+           b)) AS valid_to,
+       last_value(bv IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY b
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS "value",
+       CAST(n_events AS BIGINT) AS n_events
+FROM collapsed
+"""
+
+
+@register("resample_hourly_locf_runs", oracle=_RESAMPLE_RUNS_ORACLE)
+def resample_hourly_locf_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pywrangler_spark.operators.resample import resample_locf
+
+    return _events(spark, sf_dir).transform(
+        resample_locf(
+            "ts", 3600, "user_id", "value", agg="last", output="runs"
+        )
+    )
+
+
 # ---- rolling z-score anomaly flags ----------------------------------------
 # Trailing-window standardization per user: z against the previous 20
 # events (excluding the current one — no self-leakage), flag |z| > 3.

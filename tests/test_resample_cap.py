@@ -57,6 +57,66 @@ class TestResampleLocf:
         }
         assert got[(1, 0)] == 30.0
 
+    def test_runs_mode_known_values(self, events):
+        from pywrangler_spark.operators.resample import runs_to_dense
+
+        runs = events.transform(
+            resample_locf("ts", 3600, "user_id", "value", output="runs")
+        )
+        got = {
+            (r.user_id, r.valid_from.hour): (
+                r.valid_to.hour, r.value, r.n_events
+            )
+            for r in runs.collect()
+        }
+        # user 1: run [0,2] value 20 (2 events in opening bucket),
+        # run [3,3] value 30; user 2: run [5,5]
+        assert got == {
+            (1, 0): (2, 20.0, 2),
+            (1, 3): (3, 30.0, 1),
+            (2, 5): (5, 99.0, 1),
+        }
+
+    def test_runs_expand_to_dense_equivalence(self, spark):
+        """Property: runs_to_dense(runs) == dense, row for row — on a
+        randomized multi-key event set with gaps, ties, NULL values and
+        sub-bucket jitter."""
+        import random
+
+        from pywrangler_spark.operators.resample import runs_to_dense
+
+        rng = random.Random(7)
+        rows = []
+        for uid in range(8):
+            t = dt.datetime(2024, 1, 1, rng.randrange(6))
+            for _ in range(rng.randrange(1, 25)):
+                t += dt.timedelta(minutes=rng.randrange(1, 700))
+                rows.append(
+                    Row(
+                        user_id=uid,
+                        ts=t,
+                        value=(
+                            None
+                            if rng.random() < 0.15
+                            else float(rng.randrange(100))
+                        ),
+                    )
+                )
+        df = spark.createDataFrame(rows)
+        for agg in ("last", "sum"):
+            dense = df.transform(
+                resample_locf("ts", 3600, "user_id", "value", agg=agg)
+            )
+            expanded = df.transform(
+                resample_locf(
+                    "ts", 3600, "user_id", "value", agg=agg, output="runs"
+                )
+            ).transform(runs_to_dense(3600, "user_id", "value"))
+            key = lambda r: (r.user_id, r.bucket_start)
+            a = sorted(dense.collect(), key=key)
+            b = sorted(expanded.collect(), key=key)
+            assert a == b, (agg, a[:3], b[:3])
+
     def test_validation(self):
         with pytest.raises(ValueError):
             resample_locf("ts", 0, "user_id", "value")
@@ -64,6 +124,8 @@ class TestResampleLocf:
             resample_locf("ts", 3600, [], "value")
         with pytest.raises(ValueError):
             resample_locf("ts", 3600, "u", "v", agg="median")
+        with pytest.raises(ValueError):
+            resample_locf("ts", 3600, "u", "v", output="sparse")
 
 
 class TestCapPerKey:
