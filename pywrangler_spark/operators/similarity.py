@@ -832,26 +832,62 @@ def topk_cosine_pq(
         sc = df.sparkSession.sparkContext
         bc_lut = sc.broadcast(lut)
 
-        from pyspark.sql.pandas.functions import pandas_udf
+        # Batch-local candidate selection (the IVF-PQ cell-local lesson,
+        # r7): emitting all Q scores per corpus row materializes a
+        # corpus x Q pair-row stream through Arrow + a corpus-sized
+        # window shuffle into Q partitions — measured as the tier's
+        # whole decade at sf10. Instead each Arrow batch scores (B, Q)
+        # locally and emits only its top (k*rerank + 1) rows per query
+        # (+1 because the query's own row may occupy a slot in its home
+        # batch); a batch-local top-L under the global total order
+        # (score desc, id asc — np.lexsort below) is a superset of every
+        # global top-L element, so the final ranked output is IDENTICAL
+        # and the window input shrinks from corpus x Q to
+        # n_batches x Q x L.
+        limit = k * rerank + 1
 
-        @pandas_udf("array<double>")
-        def adc_scores(codes: pd.Series) -> pd.Series:
+        def _score_batches(batches):
             table = bc_lut.value  # (Q, m, k)
-            c = np.stack(codes.to_numpy()).astype("int64")  # (B, m)
-            # gather per subspace: scores (B, Q) = sum_j table[:, j, c[:, j]]
-            scores = np.zeros((len(c), table.shape[0]))
-            for j in range(table.shape[1]):
-                scores += table[:, j, :][:, c[:, j]].T
-            return pd.Series(list(np.round(scores, 6)))
+            nq = table.shape[0]
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                c = np.stack(pdf["_codes"].to_numpy()).astype("int64")
+                scores = np.zeros((len(c), nq))
+                for j in range(table.shape[1]):
+                    scores += table[:, j, :][:, c[:, j]].T
+                scores = np.round(scores, 6)
+                ids = pdf["_id"].to_numpy()
+                keep = min(limit, len(c))
+                sels = [
+                    np.lexsort((ids, -scores[:, q]))[:keep]
+                    for q in range(nq)
+                ]
+                yield pd.DataFrame(
+                    {
+                        "_qidx": np.repeat(
+                            np.arange(nq, dtype="int32"), keep
+                        ),
+                        "_id": np.concatenate([ids[s] for s in sels]),
+                        "cosine_pq": np.concatenate(
+                            [scores[s, q] for q, s in enumerate(sels)]
+                        ),
+                    }
+                )
 
         encode = _pq_encode_udf(books)
         corpus = _scale_out(df).select(
             F.col(id_column).alias("_id"),
             encode(to_double_array(F.col(vector_column))).alias("_codes"),
         )
-        scored = corpus.select(
-            "_id", F.posexplode(adc_scores(F.col("_codes")))
-        ).toDF("_id", "_qidx", "cosine_pq")
+        cand_schema = StructType(
+            [
+                StructField("_qidx", IntegerType()),
+                StructField("_id", df.schema[id_column].dataType),
+                StructField("cosine_pq", DoubleType()),
+            ]
+        )
+        scored = corpus.mapInPandas(_score_batches, cand_schema)
         # query_id keeps the input id column's type (no int coercion:
         # string/decimal ids must survive the round-trip)
         qmap = df.sparkSession.createDataFrame(
