@@ -28,6 +28,7 @@ from pywrangler_spark.streaming.neardup import (
 from pywrangler_spark.streaming.join import stream_interval_join
 from pywrangler_spark.streaming.lmscore import stream_lm_score
 from pywrangler_spark.streaming.sink import idempotent_parquet_sink
+from pywrangler_spark.streaming.resample import stream_resample_locf
 from pywrangler_spark.streaming.rolling import stream_trailing_window_agg
 from pywrangler_spark.streaming.rollup import stream_time_bucket_rollup
 from pywrangler_spark.streaming.sessionize import stream_session_stats
@@ -52,6 +53,7 @@ __all__ = [
     "stream_render_packs",
     "stream_url_canonicalize",
     "stream_webclean",
+    "stream_resample_locf",
     "stream_trailing_window_agg",
     "idempotent_parquet_sink",
 ]

@@ -1277,3 +1277,114 @@ class TestStreamingRenderPacks:
             stream_render_packs("t", "n", 0, "id", "shard")
         with pytest.raises(ValueError, match="shard key"):
             stream_render_packs("t", "n", 512, "id", ())
+
+
+class TestStreamingResample:
+    def test_matches_batch_closed_buckets(self, spark, events_stream_dir):
+        """Streamed dense LOCF == batch dense LOCF restricted to each
+        key's CLOSED buckets (everything before the key's newest bucket
+        — the open bucket waits in state, append mode cannot retract)."""
+        from pywrangler_spark.operators.resample import resample_locf
+        from pywrangler_spark.streaming import stream_resample_locf
+
+        ev = read_parquet(spark, f"{SF}/events.parquet").select(
+            "user_id", "ts", "value"
+        )
+        dense = ev.transform(
+            resample_locf("ts", 3600, "user_id", "value", agg="last")
+        )
+        maxb = dense.groupBy("user_id").agg(
+            F.max("bucket_start").alias("_mx")
+        )
+        closed = dense.join(maxb, "user_id").filter(
+            F.col("bucket_start") < F.col("_mx")
+        )
+        batch = {
+            (r.user_id, r.bucket_start): (
+                None if r.value is None else round(r.value, 6),
+                r.n_events,
+            )
+            for r in closed.collect()
+        }
+
+        streamed_df = _run_stream(
+            spark,
+            lambda sdf: sdf.select("user_id", "ts", "value").transform(
+                stream_resample_locf("ts", 3600, "user_id", "value")
+            ),
+            events_stream_dir,
+            read_parquet(spark, f"{SF}/events.parquet").schema,
+            "resample_sink",
+        )
+        streamed = {
+            (r.user_id, r.bucket_start): (
+                None
+                if r.value is None or r.value != r.value
+                else round(r.value, 6),
+                r.n_events,
+            )
+            for r in streamed_df.collect()
+        }
+        assert len(streamed) == len(batch) >= 100
+        mismatch = {
+            k: (streamed.get(k), batch[k])
+            for k in batch
+            if streamed.get(k) != batch[k]
+        }
+        assert not mismatch, list(mismatch.items())[:5]
+
+    def test_agg_modes_and_gap_fill(self, spark, tmp_path):
+        """Two micro-batches, a bucket straddling them, a gap, and a
+        sum aggregate — the open-bucket merge and LOCF carry paths."""
+        import datetime as dt
+
+        from pywrangler_spark.streaming import stream_resample_locf
+
+        schema = "user_id bigint, ts timestamp, value double"
+
+        def _write(rows, n):
+            spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+                str(tmp_path / "files" / f"{n:03d}")
+            )
+
+        t0 = dt.datetime(2024, 1, 1)
+
+        def ts(h, m=0):
+            return t0 + dt.timedelta(hours=h, minutes=m)
+
+        # bucket 0 straddles the two files; bucket 3 closes it; bucket
+        # 1-2 are the LOCF gap; bucket 3 stays open (never emitted)
+        _write([(1, ts(0, 10), 5.0)], 0)
+        _write([(1, ts(0, 40), 7.0), (1, ts(3, 0), 100.0)], 1)
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(tmp_path / "files" / "*"))
+        )
+        q = (
+            sdf.transform(
+                stream_resample_locf("ts", 3600, "user_id", "value",
+                                     agg="sum")
+            )
+            .writeStream.format("memory")
+            .queryName("resample_sum_sink")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            r.bucket_start.hour: (r.value, r.n_events)
+            for r in spark.table("resample_sum_sink").collect()
+        }
+        assert got == {0: (12.0, 2), 1: (12.0, 0), 2: (12.0, 0)}, got
+
+    def test_validation(self):
+        from pywrangler_spark.streaming import stream_resample_locf
+
+        with pytest.raises(ValueError, match="groupby"):
+            stream_resample_locf("ts", 3600, [], "v")
+        with pytest.raises(ValueError, match="step_seconds"):
+            stream_resample_locf("ts", 0, "u", "v")
+        with pytest.raises(ValueError, match="agg"):
+            stream_resample_locf("ts", 3600, "u", "v", agg="median")
