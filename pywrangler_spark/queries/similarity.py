@@ -37,6 +37,23 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_parquet(spark, os.path.join(sf_dir, "embeddings.parquet"))
 
 
+# capacity schedule, resolved once per (process, corpus): the served
+# gates derive their hyperparameters from corpus size via
+# suggest_ann_params instead of pinning driver-scale constants, so the
+# sf10 rows exercise the same schedule a 100 TB deployment relies on
+# (recall_scale.json is the measured basis). The one count() per corpus
+# is a fit-phase action, cached like the centroid/codebook artifacts.
+_ANN_PARAMS: dict = {}
+
+
+def _ann_params(emb: DataFrame, sf_dir: str) -> dict:
+    from pywrangler_spark.operators.similarity import suggest_ann_params
+
+    if sf_dir not in _ANN_PARAMS:
+        _ANN_PARAMS[sf_dir] = suggest_ann_params(emb.count())
+    return _ANN_PARAMS[sf_dir]
+
+
 _TOPK_ORACLE = f"""
 WITH e AS ({_NORM_E}
 ), q AS (
@@ -131,7 +148,8 @@ def _recall_row(
 def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH recall gate: avg recall@10 vs the exact tier must
     clear the floor the test suite validates (0.3 on 64-dim random
-    vectors with 8 planes × 4 tables + multiprobe)."""
+    vectors with 8 planes × 4 tables + multiprobe). Table count is
+    schedule-derived (+1 per decade past the driver scale)."""
     emb = _emb(spark, sf_dir)
     approx = emb.transform(
         topk_cosine_lsh(
@@ -139,6 +157,7 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding",
             k=10,
             n_planes=8,
+            n_tables=_ann_params(emb, sf_dir)["n_tables"],
             dim=_EMB_DIM,
             query_filter=(F.col("vec_id") % 40 == 0)
             & (F.col("vec_id") < 2000),
@@ -155,24 +174,28 @@ _IVF_CENTROIDS: dict = {}
 
 @register("ann_topk_ivf", oracle=_RECALL_ORACLE)
 def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF recall gate (floor 0.5 probing 4/16 cells — test-validated).
-    Centroids are fitted once per corpus on a capped sample and served
+    """IVF recall gate (floor 0.5, test-validated at the driver-scale
+    4/16 probe layout). Cell count and probe count are schedule-derived
+    (``n_centroids ~ sqrt(n)``, probe fraction held at 1/4); centroids
+    are fitted once per (corpus, layout) on a capped sample and served
     to every subsequent call."""
     from pywrangler_spark.operators.similarity import train_ivf_centroids
 
     emb = _emb(spark, sf_dir)
-    key = (sf_dir, 16)
+    params = _ann_params(emb, sf_dir)
+    n_c, n_p = params["n_centroids"], params["n_probe"]
+    key = (sf_dir, n_c)
     if key not in _IVF_CENTROIDS:
         _IVF_CENTROIDS[key] = train_ivf_centroids(
-            emb, "embedding", n_centroids=16, seed=42
+            emb, "embedding", n_centroids=n_c, seed=42
         )
     approx = emb.transform(
         topk_cosine_ivf(
             "vec_id",
             "embedding",
             k=10,
-            n_centroids=16,
-            n_probe=4,
+            n_centroids=n_c,
+            n_probe=n_p,
             query_filter=(F.col("vec_id") % 40 == 0)
             & (F.col("vec_id") < 2000),
             centroids=_IVF_CENTROIDS[key],
@@ -247,7 +270,10 @@ def ann_topk_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             query_filter=(F.col("vec_id") % 40 == 0)
             & (F.col("vec_id") < 2000),
             codebooks=_PQ_CODEBOOKS[key],
-            rerank=2,
+            # schedule-derived, floored at 2: this gate EXISTS to
+            # exercise the refine stage, so it never degrades to
+            # unrefined PQ at driver scales where the schedule says 1
+            rerank=max(2, _ann_params(emb, sf_dir)["rerank"]),
         )
     )
     return _recall_row(emb, approx, floor=0.7)
@@ -447,10 +473,12 @@ def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _emb(spark, sf_dir)
-    ckey = (sf_dir, 16)
+    params = _ann_params(emb, sf_dir)
+    n_c, n_p = params["n_centroids"], params["n_probe"]
+    ckey = (sf_dir, n_c)
     if ckey not in _IVF_CENTROIDS:
         _IVF_CENTROIDS[ckey] = train_ivf_centroids(
-            emb, "embedding", n_centroids=16, seed=42
+            emb, "embedding", n_centroids=n_c, seed=42
         )
     bkey = (sf_dir, 16, 256)
     if bkey not in _PQ_CODEBOOKS:
@@ -462,8 +490,8 @@ def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "embedding",
             k=10,
-            n_centroids=16,
-            n_probe=4,
+            n_centroids=n_c,
+            n_probe=n_p,
             m=16,
             codebook_k=256,
             query_filter=(F.col("vec_id") % 40 == 0)

@@ -879,9 +879,15 @@ def docvec_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = vecs.transform(
         topk_cosine("id", "doc_vec", k=10, query_filter=qf)
     ).select("query_id", "neighbor_id")
+    # table count from the capacity schedule (+1 per decade) — the
+    # count doubles as the persisted vector table's materialization
+    from pywrangler_spark.operators.similarity import suggest_ann_params
+
+    n_tables = suggest_ann_params(vecs.count())["n_tables"]
     approx = vecs.transform(
         topk_cosine_lsh(
-            "id", "doc_vec", k=10, n_planes=8, dim=64, query_filter=qf
+            "id", "doc_vec", k=10, n_planes=8, n_tables=n_tables,
+            dim=64, query_filter=qf,
         )
     ).select("query_id", "neighbor_id")
     # one pass per tier: the earlier left_semi + two separate groupBys
