@@ -42,12 +42,37 @@ def main() -> int:
             }
         )
     )
+    # peak executor memory per query, when the artifacts carry stage
+    # telemetry — memory scaling is a measured curve like wall-time
+    mem1 = {
+        n: m.get("peak_exec_mem_mb", 0.0)
+        for n, m in sf1.get("stage_metrics", {}).items()
+    }
+    mem10 = {
+        n: m.get("peak_exec_mem_mb", 0.0)
+        for n, m in sf10.get("stage_metrics", {}).items()
+    }
+
+    def _mem(n):
+        a, b = mem1.get(n), mem10.get(n)
+        if a is None or b is None:
+            return ""
+        r = f" ({b / a:4.1f}x)" if a else ""
+        return f"  mem {a:7.0f} -> {b:7.0f} MB{r}"
+
     print("\nworst 15 ratios (sf1s -> sf10s):")
     for n, v in sorted(ratios.items(), key=lambda kv: -kv[1])[:15]:
-        print(f"  {n:40s} {q1[n]:8.2f} -> {q10[n]:8.2f}  {v:6.2f}x")
+        print(
+            f"  {n:40s} {q1[n]:8.2f} -> {q10[n]:8.2f}  {v:6.2f}x{_mem(n)}"
+        )
     print("\nmost expensive 10 at sf10:")
     for n in sorted(shared, key=lambda n: -q10[n])[:10]:
-        print(f"  {n:40s} {q10[n]:8.2f}s  ({ratios[n]:.2f}x)")
+        print(f"  {n:40s} {q10[n]:8.2f}s  ({ratios[n]:.2f}x){_mem(n)}")
+    if mem10:
+        print("\npeak executor memory top 10 at sf10:")
+        for n in sorted(mem10, key=lambda n: -mem10[n])[:10]:
+            if n in ratios:
+                print(f"  {n:40s} {mem10[n]:8.0f} MB{_mem(n)}")
     return 0
 
 
