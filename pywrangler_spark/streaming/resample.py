@@ -117,12 +117,22 @@ def stream_resample_locf(
     groupby_columns: Union[str, Sequence[str]],
     value_column: str,
     agg: str = "last",
+    output: str = "dense",
 ) -> Callable[[DataFrame], DataFrame]:
     """Append-mode streaming resample: one output row per CLOSED
     (group, bucket), gaps LOCF-filled; the open bucket waits in state.
 
-    Output: groups + ``bucket_start`` (timestamp), ``<value_column>``
-    (double), ``n_events`` (0 for gap rows).
+    Output (``output="dense"``): groups + ``bucket_start`` (timestamp),
+    ``<value_column>`` (double), ``n_events`` (0 for gap rows).
+
+    ``output="runs"`` mirrors the batch operator's run-length mode —
+    closed buckets ARE runs in a stream: a non-empty bucket's validity
+    range is known exactly when the next non-empty bucket arrives (the
+    event that closes it), so each close emits ONE
+    ``(valid_from, valid_to, value, n_events)`` row instead of the
+    dense span. Same append-mode contract (the newest bucket's run is
+    open-ended and waits in state); output equals the batch runs form
+    restricted to each key's closed runs.
 
     ``sdf.transform(stream_resample_locf("ts", 3600, "user_id",
     "value"))``
@@ -134,18 +144,31 @@ def stream_resample_locf(
         raise ValueError(f"step_seconds must be > 0, got {step_seconds}")
     if agg not in _AGGS:
         raise ValueError(f"unsupported agg {agg!r}")
+    if output not in ("dense", "runs"):
+        raise ValueError(f"output must be 'dense' or 'runs', got {output!r}")
     step_us = int(step_seconds) * 1_000_000
 
     def _transform(sdf: DataFrame) -> DataFrame:
         key_fields = [sdf.schema[g] for g in groups]
-        out_schema = StructType(
-            key_fields
-            + [
-                StructField("bucket_start", TimestampType()),
-                StructField(value_column, DoubleType()),
-                StructField("n_events", LongType()),
-            ]
-        )
+        if output == "runs":
+            out_schema = StructType(
+                key_fields
+                + [
+                    StructField("valid_from", TimestampType()),
+                    StructField("valid_to", TimestampType()),
+                    StructField(value_column, DoubleType()),
+                    StructField("n_events", LongType()),
+                ]
+            )
+        else:
+            out_schema = StructType(
+                key_fields
+                + [
+                    StructField("bucket_start", TimestampType()),
+                    StructField(value_column, DoubleType()),
+                    StructField("n_events", LongType()),
+                ]
+            )
 
         def _resample(
             key: Tuple,
@@ -205,7 +228,38 @@ def stream_resample_locf(
 
             newest = int(ub[-1])
             emit_lo = int(ub[0])
-            if emit_lo < newest:
+            if output == "runs" and emit_lo < newest:
+                # each closed non-empty bucket is one run, valid until
+                # the bucket before the NEXT non-empty one (the last
+                # closed run ends just before the still-open newest)
+                starts = ub[:-1]
+                ends = ub[1:] - 1
+                vals, nev = [], []
+                for p, c in zip(partials[:-1], counts[:-1]):
+                    fv = _finish(agg, p)
+                    if not np.isnan(fv):
+                        carry = float(fv)
+                    vals.append(carry)
+                    nev.append(int(c))
+                vcol = pd.Series(vals)
+                vcol = vcol.astype(object).where(vcol.notna(), None)
+                yield pd.DataFrame(
+                    {
+                        **{
+                            g: pd.Series([kv] * len(starts))
+                            for g, kv in zip(groups, key)
+                        },
+                        "valid_from": pd.to_datetime(
+                            starts * step_us, unit="us"
+                        ),
+                        "valid_to": pd.to_datetime(
+                            ends * step_us, unit="us"
+                        ),
+                        value_column: vcol,
+                        "n_events": np.asarray(nev, dtype="int64"),
+                    }
+                )
+            elif emit_lo < newest:
                 span = np.arange(emit_lo, newest, dtype="int64")
                 vals = np.full(len(span), np.nan)
                 nev = np.zeros(len(span), dtype="int64")

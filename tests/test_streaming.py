@@ -1388,3 +1388,62 @@ class TestStreamingResample:
             stream_resample_locf("ts", 0, "u", "v")
         with pytest.raises(ValueError, match="agg"):
             stream_resample_locf("ts", 3600, "u", "v", agg="median")
+        with pytest.raises(ValueError, match="output"):
+            stream_resample_locf("ts", 3600, "u", "v", output="sparse")
+
+    def test_runs_mode_matches_batch_closed_runs(
+        self, spark, events_stream_dir
+    ):
+        """Streamed runs == batch runs-mode output restricted to each
+        key's CLOSED runs (all but the last run per key)."""
+        from pywrangler_spark.operators.resample import resample_locf
+        from pywrangler_spark.streaming import stream_resample_locf
+
+        ev = read_parquet(spark, f"{SF}/events.parquet").select(
+            "user_id", "ts", "value"
+        )
+        runs = ev.transform(
+            resample_locf(
+                "ts", 3600, "user_id", "value", agg="last", output="runs"
+            )
+        )
+        mx = runs.groupBy("user_id").agg(F.max("valid_from").alias("_mx"))
+        closed = runs.join(mx, "user_id").filter(
+            F.col("valid_from") < F.col("_mx")
+        )
+        batch = {
+            (r.user_id, r.valid_from): (
+                r.valid_to,
+                None if r.value is None else round(r.value, 6),
+                r.n_events,
+            )
+            for r in closed.collect()
+        }
+        streamed_df = _run_stream(
+            spark,
+            lambda sdf: sdf.select("user_id", "ts", "value").transform(
+                stream_resample_locf(
+                    "ts", 3600, "user_id", "value", output="runs"
+                )
+            ),
+            events_stream_dir,
+            read_parquet(spark, f"{SF}/events.parquet").schema,
+            "resample_runs_sink",
+        )
+        streamed = {
+            (r.user_id, r.valid_from): (
+                r.valid_to,
+                None
+                if r.value is None or r.value != r.value
+                else round(r.value, 6),
+                r.n_events,
+            )
+            for r in streamed_df.collect()
+        }
+        assert len(streamed) == len(batch) >= 100
+        mismatch = {
+            k: (streamed.get(k), batch[k])
+            for k in batch
+            if streamed.get(k) != batch[k]
+        }
+        assert not mismatch, list(mismatch.items())[:5]
