@@ -55,6 +55,21 @@ def test_resample_empty(empty_events):
     ).count() == 0
 
 
+def test_resample_runs_empty(empty_events):
+    from pywrangler_spark.operators.resample import (
+        resample_locf,
+        runs_to_dense,
+    )
+
+    runs = empty_events.transform(
+        resample_locf("ts", 3600, "user_id", "value", output="runs")
+    )
+    assert runs.count() == 0
+    assert runs.transform(
+        runs_to_dense(3600, "user_id", "value")
+    ).count() == 0
+
+
 def test_asof_empty_both_sides(empty_events):
     from pywrangler_spark.operators.asof import asof_join
 

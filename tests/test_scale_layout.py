@@ -217,3 +217,64 @@ class TestAdaptiveSaltedJoin:
             adaptive_salted_join(right, [])(left)
         with pytest.raises(ValueError, match="how"):
             adaptive_salted_join(right, "k", how="outer")(left)
+
+
+class TestBucketedWriterSessionGotchas:
+    def test_overwrite_clears_orphaned_location(self, spark):
+        """A managed table's files can outlive its catalog entry (the
+        default catalog is session-scoped, the warehouse dir is not) —
+        an overwrite write must clear the orphaned directory instead of
+        failing with LOCATION_ALREADY_EXISTS."""
+        import os
+        from urllib.parse import urlparse
+
+        warehouse = urlparse(
+            spark.conf.get("spark.sql.warehouse.dir")
+        ).path
+        loc = os.path.join(warehouse, "t_orphan")
+        spark.sql("DROP TABLE IF EXISTS t_orphan")
+        os.makedirs(loc, exist_ok=True)
+        with open(os.path.join(loc, "stale.parquet"), "w") as fh:
+            fh.write("not parquet")
+        try:
+            df = spark.range(20).selectExpr("id AS k", "id * 2 AS v")
+            write_bucketed_table(df, "t_orphan", "k", 2)
+            assert read_table(spark, "t_orphan").count() == 20
+        finally:
+            spark.sql("DROP TABLE IF EXISTS t_orphan")
+
+    def test_one_file_per_bucket_elides_join_sort(self, spark):
+        """The writer's default pre-repartition gives one file per
+        bucket, which (with the session's bucketedTableScan ordering
+        conf) removes BOTH the Exchange and the Sort under a bucketed
+        sort-merge join."""
+        import os
+
+        try:
+            a = spark.range(400).selectExpr("id % 40 AS k", "id AS v")
+            b = spark.range(40).selectExpr("id AS k", "id * 3 AS w")
+            write_bucketed_table(a, "t_sf_a", "k", 4, sort_columns="k")
+            write_bucketed_table(b, "t_sf_b", "k", 4, sort_columns="k")
+            # one file per bucket on disk
+            from urllib.parse import urlparse
+
+            warehouse = urlparse(
+                spark.conf.get("spark.sql.warehouse.dir")
+            ).path
+            files = [
+                f
+                for f in os.listdir(os.path.join(warehouse, "t_sf_a"))
+                if f.endswith(".parquet")
+            ]
+            assert len(files) == 4, files
+            j = read_table(spark, "t_sf_a").hint("merge").join(
+                read_table(spark, "t_sf_b"), "k"
+            )
+            assert j.count() == 400
+            plan = explain_string(j)
+            tree = plan.split("== Initial Plan ==")[0].split("\n\n")[0]
+            assert count_exchanges(j) == 0, tree
+            assert "Sort (" not in tree, tree
+        finally:
+            spark.sql("DROP TABLE IF EXISTS t_sf_a")
+            spark.sql("DROP TABLE IF EXISTS t_sf_b")
