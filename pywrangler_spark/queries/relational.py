@@ -3,9 +3,21 @@ star schema) — DataFrame implementations + DuckDB oracles.
 
 Plan-shape rules applied throughout (checked with ``explain("formatted")``):
 filters precede joins so parquet scans receive pushed-down predicates and
-pruned columns; dimension tables (region/nation/customer/supplier/part) are
-broadcast so the only shuffles are the final aggregations; aggregates are
-aliased identically to the oracle.
+pruned columns; dimension joins stay broadcast-shaped so the only shuffles
+are the final aggregations; aggregates are aliased identically to the
+oracle.
+
+Broadcast policy (the round-8 peak-memory audit, SCALE.md): ``F.broadcast``
+is PINNED only on frames whose size is scale-invariant — nation/region
+(25/5 rows) and output-bounded aggregates (1-row thresholds, per-priority
+5-row tables, per-returnflag sketches). Dimensions that GROW with scale
+factor (part / customer / supplier and frames derived from them) carry NO
+hint: at test scales the optimizer broadcasts them anyway (pruned-scan
+estimates sit under ``autoBroadcastJoinThreshold``, so plans are unchanged
+— the star-join plan contract still asserts the BroadcastHashJoins), and
+at 100 TB (~20 B parts) the same query degrades gracefully to a shuffle
+join with AQE free to flip the build side, instead of dying on the 8 GB
+broadcast limit / driver OOM a pinned hint would force.
 
 Floating-point determinism: SUM over doubles is order-dependent (different
 partitionings → different associativity → last-ulp differences that can
@@ -116,7 +128,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("l_orderkey", "l_extendedprice", "l_discount")
     return (
         li.join(
-            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
+            orders.join(cust, orders.o_custkey == cust.c_custkey),
             li.l_orderkey == orders.o_orderkey,
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
@@ -156,21 +168,31 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
     )
-    dims = cust.join(
-        F.broadcast(
-            nation.join(
-                F.broadcast(region), nation.n_regionkey == region.r_regionkey
-            )
-        ),
-        cust.c_nationkey == nation.n_nationkey,
+    # Region restriction rides a broadcast LEFT SEMI against the bounded
+    # nation-key set: a semi join's size estimate is its LEFT side, so
+    # cust keeps its scan-based estimate (an inner cust x nation-x-region
+    # join would estimate as the PRODUCT of the sides and force the fact
+    # join to SortMergeJoin even at test scale). n_name is attached to
+    # the fact afterwards via the pinned bounded-nation broadcast.
+    nr_keys = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey")
+    cust_f = cust.join(
+        F.broadcast(nr_keys),
+        cust.c_nationkey == F.col("n_nationkey"),
+        "left_semi",
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+        .join(cust_f, orders.o_custkey == cust_f.c_custkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey)
-            & (supp.s_nationkey == dims.c_nationkey),
+            & (supp.s_nationkey == cust_f.c_nationkey),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
         )
         .groupBy("n_name")
         .agg(
@@ -236,7 +258,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("l_orderkey", "l_extendedprice", "l_discount")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(
@@ -343,7 +365,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
     ).select("l_suppkey", "l_extendedprice", "l_discount")
     return (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
         .groupBy("s_suppkey", "s_name")
         .agg(
             dsum(
@@ -476,9 +498,9 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
     )
     return (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(F.col("n1_key") != F.col("n2_key"))
@@ -514,7 +536,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             dsum(F.when(F.col("p_type") == "PROMO", rev)).alias(
                 "promo_revenue"
@@ -545,7 +567,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy(
             "c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice"
         )
@@ -570,7 +592,7 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
     )
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
-    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    joined = li.join(part, li.l_partkey == part.p_partkey)
     cond1 = (
         (F.col("p_brand") == "Brand#1")
         & F.col("p_size").between(1, 15)
@@ -696,7 +718,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dec = lambda c: c.cast("decimal(27,6)")  # noqa: E731
     per_part = (
-        li.join(F.broadcast(brand_parts), li.l_partkey == brand_parts.p_partkey)
+        li.join(brand_parts, li.l_partkey == brand_parts.p_partkey)
         .groupBy("l_partkey")
         .agg(
             F.sum(dec(F.col("l_quantity"))).alias("sum_qty"),
@@ -704,7 +726,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     joined = li.alias("li").join(
-        F.broadcast(per_part).alias("pp"),
+        per_part.alias("pp"),
         F.col("li.l_partkey") == F.col("pp.l_partkey"),
     )
     small = joined.filter(
@@ -751,26 +773,27 @@ GROUP BY 1
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = _t(spark, sf_dir, "nation")
     region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    # Bounded-side restrictions ride broadcast LEFT SEMI joins (estimate =
+    # left side, so cust keeps its scan-based size); the supplier nation
+    # NAME is attached to the fact after the supplier join via the pinned
+    # bounded-nation broadcast — pre-joining supplier x nation would give
+    # the frame a product size estimate and force a SortMergeJoin.
+    amer_keys = nation.join(
+        F.broadcast(region), F.col("n_regionkey") == region.r_regionkey
+    ).select("n_nationkey")
     amer_cust = (
         _t(spark, sf_dir, "customer")
         .join(
-            F.broadcast(nation),
-            F.col("c_nationkey") == nation.n_nationkey,
+            F.broadcast(amer_keys),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+            "left_semi",
         )
-        .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
         .select("c_custkey")
     )
     part = _t(spark, sf_dir, "part").filter(
         F.col("p_type") == "ECONOMY"
     ).select("p_partkey")
-    supp_nation = (
-        _t(spark, sf_dir, "supplier")
-        .join(
-            F.broadcast(nation.select("n_nationkey", "n_name")),
-            F.col("s_nationkey") == F.col("n_nationkey"),
-        )
-        .select("s_suppkey", "n_name")
-    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     orders = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate").between(
             F.lit("1995-01-01").cast("timestamp"),
@@ -782,8 +805,12 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp_nation), li.l_suppkey == F.col("s_suppkey"))
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(amer_cust, orders.o_custkey == amer_cust.c_custkey, "leftsemi")
         .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
@@ -915,14 +942,11 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part").filter(
         F.col("p_name").like("%red%")
     ).select("p_partkey", "p_retailprice")
-    supp = (
-        _t(spark, sf_dir, "supplier")
-        .join(
-            F.broadcast(_t(spark, sf_dir, "nation")),
-            F.col("s_nationkey") == F.col("n_nationkey"),
-        )
-        .select("s_suppkey", "n_name")
-    )
+    # n_name attaches to the fact AFTER the supplier join via the pinned
+    # bounded-nation broadcast: a pre-joined supplier x nation frame would
+    # carry a product size estimate and lose its auto-broadcast.
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_suppkey",
@@ -933,8 +957,12 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.col("p_retailprice") * F.col("l_quantity")
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy(
             F.col("n_name").alias("nation"),
@@ -1005,7 +1033,7 @@ def q16_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("p_partkey", "p_brand", "p_size")
     li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -1189,7 +1217,7 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
         per_order.filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
-        .join(F.broadcast(supp), F.col("late_supp") == F.col("s_suppkey"))
+        .join(supp, F.col("late_supp") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
@@ -1282,7 +1310,7 @@ def q21_waiting_supplier_bucketed(
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
         per_order.filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
-        .join(F.broadcast(supp), F.col("late_supp") == F.col("s_suppkey"))
+        .join(supp, F.col("late_supp") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
@@ -1399,24 +1427,34 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("p_partkey", "p_type")
     nation = _t(spark, sf_dir, "nation")
     region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    # EUROPE restriction rides a broadcast LEFT SEMI (estimate = supplier
+    # scan, so the fact join keeps its auto-broadcast at test scale and
+    # degrades gracefully at 100 TB); n_name attaches afterwards via the
+    # pinned bounded-nation broadcast.
+    euro_keys = nation.join(
+        F.broadcast(region),
+        nation.n_regionkey == region.r_regionkey,
+    ).select("n_nationkey")
     supp = (
         _t(spark, sf_dir, "supplier")
         .join(
-            F.broadcast(nation.join(
-                F.broadcast(region),
-                nation.n_regionkey == region.r_regionkey,
-            ).select("n_nationkey", "n_name")),
+            F.broadcast(euro_keys),
             F.col("s_nationkey") == F.col("n_nationkey"),
+            "left_semi",
         )
-        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+        .select("s_suppkey", "s_name", "s_acctbal", "s_nationkey")
     )
     li = _t(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey",
         (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit"),
     )
     costs = (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
         .groupBy("p_partkey", "p_type", "s_suppkey", "s_name",
                  "s_acctbal", "n_name")
         .agg(F.min("unit").alias("unit_cost"))
@@ -1473,7 +1511,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
     )
     per_part = (
-        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("l_partkey")
         .agg(dsum(F.col("rev")).alias("part_value"))
     )
@@ -1525,7 +1563,7 @@ def q20_recent_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity"),
     ).otherwise(F.lit(0.0))
     shipped = (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"),
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"),
                 "left_semi")
         .groupBy("l_suppkey")
         .agg(
@@ -1538,7 +1576,7 @@ def q20_recent_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         shipped.filter(F.col("recent_qty") > 0.5 * F.col("total_qty"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_name", "s_acctbal", "recent_qty", "total_qty")
     )
 

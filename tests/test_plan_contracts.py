@@ -186,6 +186,30 @@ class TestRound6PlanContracts:
 
     @pytest.mark.parametrize(
         "name",
+        [
+            "q2_min_cost_supplier", "q5_local_supplier_volume",
+            "q8_market_share", "q9_product_profit",
+            "q14_promo_revenue", "q18_large_orders",
+        ],
+    )
+    def test_unpinned_growing_dims_still_broadcast(self, spark, name):
+        # Broadcast policy (SCALE.md round-8 audit): part/customer/supplier
+        # GROW with scale factor, so their joins carry NO F.broadcast pin —
+        # the optimizer must keep choosing broadcast at test scale from
+        # scan-based size estimates. The load-bearing part is the
+        # q2/q5/q8/q9 restructure: bounded-set restrictions ride broadcast
+        # LEFT SEMI joins (a semi join's estimate is its LEFT side) and
+        # n_name attaches via the pinned 25-row nation broadcast — a
+        # growing dim PRE-JOINED with nation/region gets a PRODUCT size
+        # estimate and silently drops to SortMergeJoin even at sf0.001.
+        df = QUERIES[name](spark, SF)
+        plan = explain_string(df)
+        tree = plan.split("== Initial Plan ==")[0].split("\n\n")[0]
+        assert "SortMergeJoin" not in tree, tree
+        assert tree.count("BroadcastHashJoin") >= 1, tree
+
+    @pytest.mark.parametrize(
+        "name",
         ["q21_waiting_supplier_bucketed", "q12_late_shipments_bucketed"],
     )
     def test_bucketed_fact_join_zero_exchange_zero_sort(self, spark, name):
