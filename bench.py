@@ -199,6 +199,15 @@ def isolated_main(names) -> None:
     # per-invocation temp dir: two concurrent isolated runs on the same
     # host must not read each other's runner/result files
     workdir = tempfile.mkdtemp(prefix="bench_isolated_")
+    try:
+        _isolated_run_loop(names, workdir, sf_dir, reps)
+    finally:
+        # always reclaim the workdir — a runner crash mid-loop must not
+        # leak a temp directory per invocation
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def _isolated_run_loop(names, workdir, sf_dir, reps) -> None:
     runner = os.path.join(workdir, "bench_isolated_run.py")
     with open(runner, "w") as fh:
         fh.write(_ISOLATED_RUNNER)
@@ -255,7 +264,6 @@ def isolated_main(names) -> None:
     compact["n_queries"] = len(timings)
     compact["n_errors"] = len(errors)
     print(json.dumps(compact))
-    shutil.rmtree(workdir, ignore_errors=True)
 
 
 def _stage_metrics_reader(spark):

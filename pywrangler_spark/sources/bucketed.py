@@ -64,25 +64,65 @@ def write_bucketed_table(
     if one_file_per_bucket:
         df = df.repartition(num_buckets, *[df[c] for c in buckets])
     spark = df.sparkSession
+    stale = None
     if mode == "overwrite" and not spark.catalog.tableExists(table):
         # a managed table's files can outlive its catalog entry (the
         # default catalog is session-scoped, the warehouse dir is not);
-        # saveAsTable refuses a non-empty location for a "new" table, so
-        # clear the orphaned directory the overwrite would replace anyway
-        import shutil
-        from urllib.parse import urlparse
-
-        warehouse = spark.conf.get("spark.sql.warehouse.dir")
-        loc = os.path.join(urlparse(warehouse).path, table.lower())
-        if os.path.isdir(loc):
-            shutil.rmtree(loc, ignore_errors=True)
+        # saveAsTable refuses a non-empty location for a "new" table. Move
+        # the orphaned directory ASIDE (not delete) so a failed write can
+        # restore it; drop it only after the new write commits.
+        loc = _orphan_location(spark, table)
+        if loc is not None and os.path.isdir(loc):
+            stale = f"{loc}.stale-{os.getpid()}"
+            os.rename(loc, stale)
     writer = df.write.format(format).mode(mode).bucketBy(
         num_buckets, buckets[0], *buckets[1:]
     )
     if sort_columns is not None:
         sorts = list(ensure_iterable(sort_columns))
         writer = writer.sortBy(sorts[0], *sorts[1:])
-    writer.saveAsTable(table)
+    try:
+        writer.saveAsTable(table)
+    except Exception:
+        if stale is not None and not os.path.exists(stale.rsplit(".stale-", 1)[0]):
+            os.rename(stale, stale.rsplit(".stale-", 1)[0])
+            stale = None
+        raise
+    finally:
+        if stale is not None and os.path.isdir(stale):
+            import shutil
+
+            shutil.rmtree(stale, ignore_errors=True)
+
+
+def _orphan_location(spark: SparkSession, table: str) -> Optional[str]:
+    """Local filesystem path a managed table's files would live at, or
+    ``None`` when it can't be determined safely (remote warehouse).
+
+    Handles database-qualified names: ``db.tbl`` lives under the
+    database's location (``<warehouse>/db.db/tbl`` by default), not
+    ``<warehouse>/db.tbl``; the default database sits at the warehouse
+    root. Non-file warehouses (hdfs/s3) return ``None`` — we can't
+    manipulate them with os-level calls, and the overwrite-orphan
+    problem this guards against is a local-session artifact anyway."""
+    from urllib.parse import urlparse
+
+    parts = [p.lower() for p in table.split(".")]
+    if len(parts) > 2:  # catalog-qualified: spark_catalog.db.tbl
+        parts = parts[-2:]
+    if len(parts) == 2:
+        db, tbl = parts
+        try:
+            base = spark.catalog.getDatabase(db).locationUri
+        except Exception:
+            return None
+    else:
+        tbl = parts[0]
+        base = spark.conf.get("spark.sql.warehouse.dir")
+    parsed = urlparse(base)
+    if parsed.scheme not in ("", "file"):
+        return None
+    return os.path.join(parsed.path, tbl)
 
 
 def read_table(spark: SparkSession, table: str) -> DataFrame:

@@ -134,7 +134,7 @@ class ColumnCacher:
         return df.withColumn(name, column)
 
 
-def tie_caches_to_result(result, persisted: list) -> None:
+def tie_caches_to_result(result, caches: list, shared: list = None) -> None:
     """Unpersist an operator's caches when ``result`` is garbage-collected.
 
     The cached-operator convention (``MinHashLSHPairs`` and friends) is
@@ -143,25 +143,41 @@ def tie_caches_to_result(result, persisted: list) -> None:
     making ``release()`` unreachable, and the caches then live until
     ``spark.catalog.clearCache()`` (fine under the bench/gate harness, a
     leak for library users). This registers a ``weakref.finalize`` on the
-    result DataFrame that drains the shared ``_persisted`` list once the
-    result object is unreachable.
+    result DataFrame that unpersists the caches once the result object is
+    unreachable.
+
+    ``caches`` must be the caches created for THIS result — NOT the
+    operator's instance-wide list: when one instance is called on two
+    DataFrames, tying the shared list would let the first result's GC
+    unpersist caches the second still-live result depends on. Pass the
+    per-call slice (callers record ``len(self._persisted)`` at call
+    start), and the instance list as ``shared``: each cache is removed
+    from ``shared`` before unpersisting, so an explicit ``release()``
+    beforehand (which empties ``shared``) makes the finalizer a no-op,
+    and repeated calls each finalize only their own caches.
 
     Safety: unpersist only ever degrades to recompute — if a user derives
     a new DataFrame from ``result`` and drops ``result`` itself, the
     derived plan still computes correctly (the cache hit is simply lost).
-    An explicit ``release()`` beforehand empties the shared list, so the
-    finalizer is then a no-op. ``atexit`` is disabled: at interpreter
-    shutdown the JVM gateway may already be gone and the cache dies with
-    the session anyway.
+    ``atexit`` is disabled: at interpreter shutdown the JVM gateway may
+    already be gone and the cache dies with the session anyway.
     """
     import weakref
 
-    def _drain(caches=persisted):
-        while caches:
+    mine = list(caches)
+
+    def _drain(mine=mine, shared=shared):
+        for c in mine:
             try:
-                caches.pop().unpersist(blocking=False)
+                if shared is not None:
+                    try:
+                        shared.remove(c)
+                    except ValueError:
+                        continue  # release() already unpersisted it
+                c.unpersist(blocking=False)
             except Exception:
                 pass
+        mine.clear()
 
     fin = weakref.finalize(result, _drain)
     fin.atexit = False

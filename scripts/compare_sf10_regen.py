@@ -10,18 +10,19 @@ replacement is an adjudicated decision, not a silent swap.
 
 Usage: python scripts/compare_sf10_regen.py OLD.json NEW.json [--tol 1.5]
 """
+import argparse
 import json
 import sys
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    tol = 1.5
-    for a in sys.argv[1:]:
-        if a.startswith("--tol"):
-            tol = float(a.split("=", 1)[1] if "=" in a else sys.argv[
-                sys.argv.index(a) + 1])
-    old_p, new_p = args[0], args[1]
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("old", metavar="OLD.json")
+    ap.add_argument("new", metavar="NEW.json")
+    ap.add_argument("--tol", type=float, default=1.5)
+    ns = ap.parse_args()
+    tol = ns.tol
+    old_p, new_p = ns.old, ns.new
     with open(old_p) as fh:
         old = json.load(fh)
     with open(new_p) as fh:

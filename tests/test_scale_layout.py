@@ -243,6 +243,54 @@ class TestBucketedWriterSessionGotchas:
         finally:
             spark.sql("DROP TABLE IF EXISTS t_orphan")
 
+    def test_failed_overwrite_restores_orphaned_location(self, spark):
+        """The orphan clear must be move-aside-then-commit: if the new
+        write FAILS, the old files come back instead of being gone."""
+        import os
+        from urllib.parse import urlparse
+
+        warehouse = urlparse(
+            spark.conf.get("spark.sql.warehouse.dir")
+        ).path
+        loc = os.path.join(warehouse, "t_orphan_fail")
+        spark.sql("DROP TABLE IF EXISTS t_orphan_fail")
+        os.makedirs(loc, exist_ok=True)
+        marker = os.path.join(loc, "old-data.parquet")
+        with open(marker, "w") as fh:
+            fh.write("precious")
+        try:
+            bad = spark.range(5).selectExpr(
+                "id AS k", "assert_true(id < 0) AS v"
+            )
+            with pytest.raises(Exception):
+                write_bucketed_table(bad, "t_orphan_fail", "k", 2)
+            assert os.path.exists(marker), "old data must be restored"
+        finally:
+            spark.sql("DROP TABLE IF EXISTS t_orphan_fail")
+            import shutil
+
+            shutil.rmtree(loc, ignore_errors=True)
+
+    def test_orphan_location_db_qualified_and_remote(self, spark):
+        """Path derivation: db.tbl lives under the database location
+        (db.db/tbl), not warehouse/db.tbl; non-local warehouses are
+        skipped (None) rather than silently mis-derived."""
+        import os
+
+        from pywrangler_spark.sources.bucketed import _orphan_location
+
+        spark.sql("CREATE DATABASE IF NOT EXISTS bktdb")
+        try:
+            loc = _orphan_location(spark, "bktdb.some_tbl")
+            assert loc is not None
+            assert loc.endswith(os.path.join("bktdb.db", "some_tbl")), loc
+            plain = _orphan_location(spark, "some_tbl")
+            assert plain is not None and plain.endswith("some_tbl")
+            assert "bktdb" not in plain
+            assert _orphan_location(spark, "nosuchdb.tbl") is None
+        finally:
+            spark.sql("DROP DATABASE IF EXISTS bktdb")
+
     def test_one_file_per_bucket_elides_join_sort(self, spark):
         """The writer's default pre-repartition gives one file per
         bucket, which (with the session's bucketedTableScan ordering

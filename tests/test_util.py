@@ -48,14 +48,45 @@ class TestTieCachesToResult:
 
         cached = spark.range(10).persist()
         cached.count()
-        persisted = [cached]
+        shared = [cached]
         result = cached.selectExpr("id * 2 AS x")
-        tie_caches_to_result(result, persisted)
+        tie_caches_to_result(result, shared, shared=shared)
         assert cached.storageLevel.useMemory  # live while result is
         del result
         gc.collect()
-        assert persisted == []
+        assert shared == []
         assert not cached.storageLevel.useMemory
+
+    def test_two_results_keep_each_others_caches(self, spark):
+        # one operator instance called on two DataFrames: GC of the
+        # first result must unpersist ONLY its own caches, not the
+        # second still-live result's (the round-8 shared-list defect)
+        import gc
+
+        from pywrangler_spark.util import tie_caches_to_result
+
+        shared = []
+        c1 = spark.range(10).persist()
+        c1.count()
+        shared.append(c1)
+        r1 = c1.selectExpr("id AS x")
+        tie_caches_to_result(r1, shared[0:], shared=shared)
+
+        c2 = spark.range(20).persist()
+        c2.count()
+        shared.append(c2)
+        r2 = c2.selectExpr("id AS y")
+        tie_caches_to_result(r2, shared[1:], shared=shared)
+
+        del r1
+        gc.collect()
+        assert not c1.storageLevel.useMemory
+        assert c2.storageLevel.useMemory  # r2 is still live
+        assert shared == [c2]
+        del r2
+        gc.collect()
+        assert not c2.storageLevel.useMemory
+        assert shared == []
 
     def test_explicit_release_first_is_noop(self, spark):
         import gc
