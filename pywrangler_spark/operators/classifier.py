@@ -55,6 +55,51 @@ def _featurize(df: DataFrame, text_column: str, n_features: int,
     return tf.transform(with_toks).drop("_toks")
 
 
+def suggest_fit_params(
+    n_rows: int,
+    base_rows: int = 128_000,
+    base_cap: int = 64_000,
+    base_features: int = 1 << 16,
+    max_features: int = 1 << 20,
+) -> dict:
+    """Capacity schedule for the classifier fit as the corpus grows past
+    the validated base point — the ``suggest_ann_params`` treatment
+    (capacity derived from one corpus count, not pinned constants).
+
+    Measured rationale (holdout ladder in SCALE.md, run via
+    ``scripts/classifier_cap_probe.py``): a fixed 64k cap holds holdout
+    accuracy within noise of the full fit at the scale it was validated
+    (0.994/0.996 at sf0.1/sf1) but decays as the corpus vocabulary
+    outgrows the sample (0.976 at sf10) — the gap is TOKEN COVERAGE,
+    and sample size is the lever (iterations/features/regularization
+    measured flat). So both levers grow with the data:
+
+    - ``max_fit_rows``: doubles per decade of corpus beyond
+      ``base_rows`` — fit cost (treeAggregate passes over the sample)
+      grows 2x per 10x data, sublinear and bounded, while sample
+      vocabulary tracks a Heaps-law corpus (vocab ~ n^0.5 means ~3.2x
+      new types per decade; the synthetic key-shifted corpus is the
+      linear worst case and still closes most of the gap — ladder in
+      SCALE.md);
+    - ``n_features``: doubles per decade alongside the cap (hash-bucket
+      collision rate is vocab/buckets; growing the sample without the
+      feature space converts coverage into collisions), capped at
+      ``max_features`` — a 2^20 coefficient matrix per class is a few
+      MB, still a cheap MLlib broadcast.
+
+    Below ``base_rows`` the schedule returns the base point unchanged —
+    the cap only starts binding where the fit input outgrows it."""
+    import math
+
+    n_rows = max(int(n_rows), 1)
+    decades = max(0.0, math.log10(n_rows / float(base_rows)))
+    steps = int(round(decades))
+    return {
+        "max_fit_rows": base_cap * 2**steps,
+        "n_features": min(max_features, base_features * 2**steps),
+    }
+
+
 def fit_text_classifier(
     df: DataFrame,
     label_column: str,
@@ -92,8 +137,18 @@ def fit_text_classifier(
     ``sampling.cap_per_key`` over the label column in md5-hash order of
     the TEXT — deterministic across engines, reruns and partitionings,
     and uniform within each label. Label discovery still runs on the
-    full input, so rare labels are never silently dropped (each label
-    keeps up to ``max_fit_rows // n_labels`` rows)."""
+    full input, so rare labels are never silently dropped.
+
+    Quota semantics: the cap is split as a PER-LABEL quota of
+    ``max(1, max_fit_rows // n_labels)`` rows. Consequences: (a) with
+    more labels than ``max_fit_rows`` the floor of 1 row per label
+    makes the fit input EXCEED the nominal cap (never-drop-a-label
+    wins over the cap); (b) the division remainder (up to
+    ``n_labels - 1`` rows of budget) goes unused, and a label with
+    fewer rows than its quota does NOT donate its unused share to
+    skewed labels — redistributing would need per-label counts (an
+    extra aggregate pass) to buy back at most ``n_labels - 1`` rows,
+    noise at any cap worth setting."""
     from pyspark.ml.classification import LogisticRegression
 
     if fit_partitions:

@@ -382,6 +382,10 @@ SELECT CAST(count(*) AS BIGINT) AS n_eval, TRUE AS acc_ok
 FROM documents WHERE doc_id % 2 = 1
 """
 
+# fit capacity per (process, corpus) — one count() per corpus, cached
+# like the ANN gates' _ANN_PARAMS (queries/similarity.py)
+_FIT_PARAMS: dict = {}
+
 
 @register("classifier_quality_gate", oracle=_CLASSIFIER_ORACLE)
 def classifier_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -411,6 +415,7 @@ def classifier_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pywrangler_spark.operators.classifier import (
         fit_text_classifier,
         score_text_classifier,
+        suggest_fit_params,
     )
     from pywrangler_spark.operators.lmscore import (
         fit_unigram_model,
@@ -419,6 +424,13 @@ def classifier_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pywrangler_spark.util import tie_caches_to_result
 
     docs = _docs(spark, sf_dir)
+    # capacity schedule, resolved once per (process, corpus) like the
+    # ANN gates' suggest_ann_params: cap and feature width derive from
+    # corpus size instead of pinning the 64k/2^16 base point (which
+    # decays with vocabulary growth at 10x+ — holdout ladder, SCALE.md)
+    if sf_dir not in _FIT_PARAMS:
+        _FIT_PARAMS[sf_dir] = suggest_fit_params(docs.count())
+    fitp = _FIT_PARAMS[sf_dir]
     lm = docs.transform(fit_unigram_model("text", vocab_size=20))
     scored = docs.transform(unigram_logprob_score(lm, oov_p=1e-9))
     # the median cutoff rides the plan as a broadcast one-row aggregate
@@ -446,12 +458,12 @@ def classifier_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 10 L-BFGS iterations converge on this task (0.995 holdout at
     # 10/20/50 iters measured at sf0.1); more is pure fit wall-time
     model, labels = fit_text_classifier(
-        train, "qlabel", n_features=1 << 16, bigrams=False, max_iter=10,
-        max_fit_rows=64_000,
+        train, "qlabel", n_features=fitp["n_features"], bigrams=False,
+        max_iter=10, max_fit_rows=fitp["max_fit_rows"],
     )
     out = test.transform(
         score_text_classifier(
-            model, labels, n_features=1 << 16, bigrams=False
+            model, labels, n_features=fitp["n_features"], bigrams=False
         )
     )
     out = out.agg(

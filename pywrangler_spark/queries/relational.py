@@ -1259,7 +1259,8 @@ def _ensure_bucketed_facts(spark: SparkSession, sf_dir: str) -> tuple:
     li_tbl, o_tbl = f"lineitem_bkt_{tag}", f"orders_bkt_{tag}"
     if not spark.catalog.tableExists(li_tbl):
         li = _t(spark, sf_dir, "lineitem").select(
-            "l_orderkey", "l_suppkey", "l_shipdate", "l_linestatus"
+            "l_orderkey", "l_suppkey", "l_shipdate", "l_linestatus",
+            "l_quantity",
         )
         write_bucketed_table(
             li, li_tbl, "l_orderkey", _FACT_BUCKETS,
@@ -1267,7 +1268,8 @@ def _ensure_bucketed_facts(spark: SparkSession, sf_dir: str) -> tuple:
         )
     if not spark.catalog.tableExists(o_tbl):
         orders = _t(spark, sf_dir, "orders").select(
-            "o_orderkey", "o_orderdate", "o_orderpriority"
+            "o_orderkey", "o_orderdate", "o_orderpriority", "o_custkey",
+            "o_totalprice",
         )
         write_bucketed_table(
             orders, o_tbl, "o_orderkey", _FACT_BUCKETS,
@@ -1344,6 +1346,42 @@ def q12_late_shipments_bucketed(
         .agg(
             F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
             F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register("q18_large_orders_bucketed", oracle=_Q18_ORACLE)
+def q18_large_orders_bucketed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q18 on the same orderkey-bucketed layout as the q21/q12 twins
+    (the steepest remaining fact-fact decade line, 7.24x at r8): the
+    lineitem x orders join is exchange-free AND sort-free (both sides
+    storage-sorted on orderkey), and the per-order quantity aggregate
+    rides the bucket partitioning too — HashPartitioning(orderkey) is a
+    subset of the grouping keys, so no exchange until the tiny
+    HAVING-filtered result joins customer (which AQE broadcasts at any
+    scale where sum_qty > 150 stays selective)."""
+    from pywrangler_spark.sources import read_table
+
+    li_tbl, o_tbl = _ensure_bucketed_facts(spark, sf_dir)
+    orders = read_table(spark, o_tbl).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    li = read_table(spark, li_tbl).select("l_orderkey", "l_quantity")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    big = (
+        li.hint("merge")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+        .agg(dsum(F.col("l_quantity")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    return (
+        big.join(cust, big.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate",
+            "o_totalprice", "sum_qty",
         )
     )
 

@@ -209,19 +209,28 @@ class TestRound6PlanContracts:
         assert tree.count("BroadcastHashJoin") >= 1, tree
 
     @pytest.mark.parametrize(
-        "name",
-        ["q21_waiting_supplier_bucketed", "q12_late_shipments_bucketed"],
+        "name,n_shuffles",
+        [
+            ("q21_waiting_supplier_bucketed", 1),
+            ("q12_late_shipments_bucketed", 1),
+            # q18: the per-order aggregate ALSO rides the bucket
+            # partitioning and the tiny HAVING output broadcasts against
+            # customer — zero shuffles end to end
+            ("q18_large_orders_bucketed", 0),
+        ],
     )
-    def test_bucketed_fact_join_zero_exchange_zero_sort(self, spark, name):
+    def test_bucketed_fact_join_zero_exchange_zero_sort(
+        self, spark, name, n_shuffles
+    ):
         # the co-located layout's whole contract: the lineitem x orders
         # sort-merge join runs on bucket-sorted storage partitioning —
-        # no Exchange AND no Sort anywhere under it; the single shuffle
-        # left is the tiny final aggregate (2 line statuses / ~10
-        # supplier names)
+        # no Exchange AND no Sort anywhere under it; the only shuffle
+        # left (if any) is the tiny final aggregate (2 line statuses /
+        # ~10 supplier names)
         df = QUERIES[name](spark, SF)
         plan = explain_string(df)
         tree = plan.split("== Initial Plan ==")[0].split("\n\n")[0]
-        assert count_exchanges(df) == 1, tree
+        assert count_exchanges(df) == n_shuffles, tree
         assert "SortMergeJoin" in tree, tree
         assert "Sort (" not in tree, tree
         # both fact scans must actually use the bucket layout
