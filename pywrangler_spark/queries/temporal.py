@@ -842,6 +842,86 @@ def resample_hourly_locf_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# runs as the scale-consumer input: the time-weighted mean of the LOCF
+# series needs no dense grid at all — each run contributes
+# value x run-length, so the whole statistic computes on events-sized
+# input. The oracle derives the SAME number the independent way (avg
+# over the materialized dense grid), which is the equivalence a 100 TB
+# consumer relies on when it skips the grid.
+_RESAMPLE_TWA_ORACLE = """
+WITH ev AS (
+    SELECT user_id,
+           CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 3600000000.0)
+                AS BIGINT) * 3600000000 AS b,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+           "value" AS v
+    FROM events
+), collapsed AS (
+    SELECT DISTINCT user_id, b,
+           last_value(v) OVER (
+               PARTITION BY user_id, b ORDER BY tus, v
+               ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND UNBOUNDED FOLLOWING) AS bv
+    FROM ev
+), span AS (
+    SELECT user_id, MIN(b) AS lo, MAX(b) AS hi FROM ev GROUP BY user_id
+), grid AS (
+    SELECT user_id, UNNEST(generate_series(lo // 3600000000,
+                                           hi // 3600000000))
+               * 3600000000 AS b
+    FROM span
+), dense AS (
+    SELECT g.user_id,
+           last_value(c.bv IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+    FROM grid g LEFT JOIN collapsed c USING (user_id, b)
+)
+SELECT user_id,
+       ROUND(AVG(v), 4) AS twa_value,
+       COUNT(v) AS n_buckets
+FROM dense GROUP BY user_id
+"""
+
+
+@register("resample_runs_weighted_mean", oracle=_RESAMPLE_TWA_ORACLE)
+def resample_runs_weighted_mean(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-user time-weighted mean of the hourly LOCF series, computed
+    FROM THE RUNS — no dense keys x buckets grid is ever materialized.
+    Each run's weight is its length in buckets ((valid_to - valid_from)
+    / step + 1); a run whose carried value is still NULL (before the
+    user's first non-null bucket) contributes nothing, exactly like the
+    NULL prefix of the dense series. This is the documented consumption
+    pattern for 100 TB consumers (SCALE.md): store/ship runs, derive
+    grid-shaped statistics by weighting, expand with runs_to_dense only
+    when a consumer genuinely needs grid rows."""
+    from pywrangler_spark.operators.resample import resample_locf
+
+    step_us = 3_600 * 1_000_000
+    runs = _events(spark, sf_dir).transform(
+        resample_locf(
+            "ts", 3600, "user_id", "value", agg="last", output="runs"
+        )
+    )
+    n_buckets = (
+        (epoch_micros(F.col("valid_to")) - epoch_micros(F.col("valid_from")))
+        / F.lit(step_us)
+        + 1
+    ).cast("long")
+    return (
+        runs.filter(F.col("value").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum(F.col("value") * n_buckets) / F.sum(n_buckets), 4
+            ).alias("twa_value"),
+            F.sum(n_buckets).alias("n_buckets"),
+        )
+    )
+
+
 # ---- rolling z-score anomaly flags ----------------------------------------
 # Trailing-window standardization per user: z against the previous 20
 # events (excluding the current one — no self-leakage), flag |z| > 3.

@@ -78,9 +78,19 @@ def main() -> None:
     ap.add_argument("--mult", type=int, default=10)
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--dest", default=".scratch/sf1")
+    # KEY_OFFSETS clear the key ranges of the DRIVER sf0.1 data; to
+    # scale an already-scaled directory (e.g. sf10 -> sf100) the
+    # offsets must also clear the source's replica-shifted ranges —
+    # pass the source's own multiplier (sf10 was built with mult 100,
+    # so --offset-mult 100). Offsets stay divisible by every
+    # query-filter modulus under integer scaling.
+    ap.add_argument("--offset-mult", type=int, default=1)
     args = ap.parse_args()
     if args.mult < 1:
         raise SystemExit("--mult must be >= 1")
+    if args.offset_mult < 1:
+        raise SystemExit("--offset-mult must be >= 1")
+    offsets = {k: v * args.offset_mult for k, v in KEY_OFFSETS.items()}
 
     spark = get_spark(
         "make_scale", master="local[16]", shuffle_partitions=32,
@@ -102,18 +112,21 @@ def main() -> None:
 
     for name in SCALED_TABLES:
         df = read_parquet(spark, os.path.join(args.src, f"{name}.parquet"))
-        keyed = [c for c in df.columns if c in KEY_OFFSETS]
+        keyed = [c for c in df.columns if c in offsets]
         replicas = []
         for i in range(args.mult):
             rep = df
             for c in keyed:
                 rep = rep.withColumn(
-                    c, (F.col(c) + F.lit(i * KEY_OFFSETS[c])).cast("long")
+                    c, (F.col(c) + F.lit(i * offsets[c])).cast("long")
                 )
             replicas.append(rep)
         out = functools.reduce(lambda a, b: a.unionByName(b), replicas)
+        # scale file count by the TOTAL multiplier vs the driver sf0.1
+        # (offset_mult encodes the source's own multiplier), so scan
+        # parallelism keeps growing when scaling an already-scaled dir
         n_files = max(
-            1, OUT_FILES.get(name, 4) * args.mult // 10
+            1, OUT_FILES.get(name, 4) * args.mult * args.offset_mult // 10
         )
         out.repartition(n_files).write.mode("overwrite").parquet(
             os.path.join(args.dest, f"{name}.parquet")
