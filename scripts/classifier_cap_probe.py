@@ -10,7 +10,10 @@ given sf_dir with a ladder of max_fit_rows caps, reporting holdout
 accuracy and wall time per cap — the measured-equivalence evidence the
 cap is gated on, same methodology as the max_iter cap (SCALE.md).
 
-  python scripts/classifier_cap_probe.py [sf_dir] [caps...]
+  python scripts/classifier_cap_probe.py [sf_dir] [cap[:n_features]...]
+
+Each ladder entry is a cap, optionally with a feature width (the
+round-9 schedule grows both together — suggest_fit_params).
 """
 
 from __future__ import annotations
@@ -26,7 +29,12 @@ sys.path.insert(0, REPO)
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    caps = [int(c) for c in sys.argv[2:]] or [0, 2000, 8000, 32000]
+    caps = [
+        (int(c.split(":")[0]),
+         int(c.split(":")[1]) if ":" in c else 1 << 16)
+        for c in sys.argv[2:]
+    ] or [(0, 1 << 16), (2000, 1 << 16), (8000, 1 << 16),
+          (32000, 1 << 16)]
 
     from pyspark.sql import functions as F
 
@@ -41,7 +49,10 @@ def main() -> int:
     from pywrangler_spark.session import get_spark
     from pywrangler_spark.sources import read_parquet
 
-    spark = get_spark("classifier_cap_probe")
+    spark = get_spark(
+        "classifier_cap_probe",
+        extra_conf={"spark.driver.memory": "48g"},
+    )
     docs = read_parquet(spark, os.path.join(sf_dir, "documents.parquet"))
     lm = docs.transform(fit_unigram_model("text", vocab_size=20))
     scored = docs.transform(unigram_logprob_score(lm, oov_p=1e-9))
@@ -64,10 +75,10 @@ def main() -> int:
     test = labeled.filter(F.col("doc_id") % 2 == 1)
 
     results = []
-    for cap in caps:
+    for cap, n_feat in caps:
         t0 = time.monotonic()
         model, labels = fit_text_classifier(
-            train, "qlabel", n_features=1 << 16, bigrams=False,
+            train, "qlabel", n_features=n_feat, bigrams=False,
             max_iter=10, max_fit_rows=cap,
         )
         fit_s = time.monotonic() - t0
@@ -75,7 +86,7 @@ def main() -> int:
         acc = (
             test.transform(
                 score_text_classifier(
-                    model, labels, n_features=1 << 16, bigrams=False
+                    model, labels, n_features=n_feat, bigrams=False
                 )
             )
             .agg(
@@ -89,6 +100,7 @@ def main() -> int:
         )
         row = {
             "cap": cap,
+            "n_features": n_feat,
             "fit_rows": min(cap, n_train) if cap else n_train,
             "holdout_acc": round(acc, 4),
             "fit_sec": round(fit_s, 2),
