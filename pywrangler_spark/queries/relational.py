@@ -1237,7 +1237,20 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q21's two orderkey aggregations ride the bucket partitioning too — its
 # only shuffle is the final tiny s_name aggregate).
 
-_FACT_BUCKETS = 128  # see _ensure_bucketed_facts docstring
+def _fact_buckets(n_rows: int) -> int:
+    """Bucket count for the orderkey layout, derived from the fact's
+    size — the suggest_ann_params treatment for the one layout constant
+    left. Target ~500k rows per bucket, power of 2, clamped [32, 4096]:
+    reproduces the measured r8 optimum (128 at sf10's 60M rows — 128
+    beat 32 because SMALLER per-bucket aggregate hash tables beat fewer
+    task waves) and keeps growing past it (2048 at sf100's 600M rows,
+    where a pinned 128 put ~4.7M orderkeys in every task's aggregate
+    hash table — measured 36.8x/decade and 184 GB of summed task peaks
+    before this schedule, bench_sf100_subset.json). Bucket count is a
+    WRITE-time layout decision: at 100 TB you size buckets so one
+    bucket's rows fit a task, you don't pin last year's constant."""
+    target = max(32, n_rows // 500_000)
+    return min(4096, 1 << (target - 1).bit_length())
 
 
 def _ensure_bucketed_facts(spark: SparkSession, sf_dir: str) -> tuple:
@@ -1262,17 +1275,24 @@ def _ensure_bucketed_facts(spark: SparkSession, sf_dir: str) -> tuple:
             "l_orderkey", "l_suppkey", "l_shipdate", "l_linestatus",
             "l_quantity",
         )
+        n_buckets = _fact_buckets(li.count())
         write_bucketed_table(
-            li, li_tbl, "l_orderkey", _FACT_BUCKETS,
+            li, li_tbl, "l_orderkey", n_buckets,
             sort_columns="l_orderkey",
         )
+    else:
+        n_buckets = None  # orders table must already match
     if not spark.catalog.tableExists(o_tbl):
+        if n_buckets is None:
+            n_buckets = _fact_buckets(
+                _t(spark, sf_dir, "lineitem").count()
+            )
         orders = _t(spark, sf_dir, "orders").select(
             "o_orderkey", "o_orderdate", "o_orderpriority", "o_custkey",
             "o_totalprice",
         )
         write_bucketed_table(
-            orders, o_tbl, "o_orderkey", _FACT_BUCKETS,
+            orders, o_tbl, "o_orderkey", n_buckets,
             sort_columns="o_orderkey",
         )
     return li_tbl, o_tbl
