@@ -34,6 +34,19 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # start exchanges WIDE and let AQE coalesce by bytes: with the
+        # initial count pinned to shuffle.partitions (Spark's default),
+        # a shuffle that grows with the data makes per-task sorts
+        # exceed execution memory and spill — measured at the sf100
+        # probe (dedup_span_mask 18 GB, dedup_cdc_chunks 50 GB of
+        # spill at 32 partitions). 8x the core count costs nothing at
+        # small scale (AQE merges small partitions back) and bounds
+        # per-task shuffle bytes as the data grows; a real cluster
+        # raises it further with its executor count.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(8 * int(shuffle_partitions or cpus)),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
