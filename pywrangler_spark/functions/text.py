@@ -49,10 +49,16 @@ def words(col: Column) -> Column:
 
 
 def token_count(col: Column) -> Column:
-    """Whitespace token count. Empty text → 0."""
+    """Whitespace token count. Empty text → 0.
+
+    Counted as single-space matches + 1 in the collapsed text rather
+    than ``size(split(...))`` — same number (normalize_text guarantees
+    single-space separators, no leading/trailing), but no per-row token
+    ARRAY is allocated just to take its length (probe:
+    ``scripts/text_stats_probe.py``, bit-identical over sf10)."""
     norm = normalize_text(col)
     return F.when(norm == "", F.lit(0)).otherwise(
-        F.size(F.split(norm, " "))
+        F.regexp_count(norm, F.lit(" ")) + 1
     ).cast("long")
 
 
@@ -64,8 +70,15 @@ def bpe_token_count(col: Column) -> Column:
 
 def quality_alpha_ratio(col: Column) -> Column:
     """Alphabetic-character ratio — a standard cheap quality signal.
-    DuckDB: ``len(regexp_replace(x,'[^A-Za-z]','','g'))*1.0/nullif(len(x),0)``."""
-    alpha = F.length(F.regexp_replace(col, "[^A-Za-z]", ""))
+    DuckDB: ``len(regexp_replace(x,'[^A-Za-z]','','g'))*1.0/nullif(len(x),0)``.
+
+    Counted with ``regexp_count('[A-Za-z]')`` instead of measuring a
+    ``regexp_replace``-filtered copy — same value, but the filtered
+    STRING is never materialized per row. This was the text_stats
+    decade-max's actual cost: the probe measured 8.5 → 5.1 s at sf10
+    from this one change (``scripts/text_stats_probe.py``, equivalence
+    asserted by full-column hash before timing)."""
+    alpha = F.regexp_count(col, F.lit("[A-Za-z]"))
     return alpha * 1.0 / F.nullif(F.length(col), F.lit(0))
 
 
