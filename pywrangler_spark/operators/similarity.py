@@ -197,18 +197,44 @@ def topk_cosine(
     vector_column: str,
     k: int = 10,
     query_filter: Optional[Column] = None,
+    candidate_margin: int = 8,
 ) -> Callable[[DataFrame], DataFrame]:
     """Exact top-k cosine neighbours for every query vector (rows matching
     ``query_filter``; default: all rows). Self-matches excluded.
 
     Output: (query_id, neighbor_id, cosine, rank).
+
+    Scale shape (with ``query_filter``): the obvious plan — crossJoin
+    the broadcast query set, score every pair, window into Q partitions
+    — materializes a corpus x Q pair stream and sorts it in Q tasks,
+    which is the same pair-row trap the PQ/IVF-PQ tiers hit (measured
+    at the sf100 probe: 50 sort tasks over 250M pair rows, tens of GB
+    of sort spill). Instead each Arrow batch GEMMs (B, d) x (d, Q)
+    locally and emits only its top ``k + 1 + candidate_margin`` ids per
+    query; the exact JVM cosine (:func:`_cosine`, the op order the
+    DuckDB oracle mirrors) is then recomputed for just those candidates
+    via :func:`_exact_rerank`, so the RESULT is bit-identical to the
+    naive plan while the shuffled/sorted stream shrinks from
+    corpus x Q to n_batches x Q x (k+margin).
+
+    Why the batch-local top is a superset of the true top-k: candidate
+    selection and the final ranking use the same total order
+    (round6(cosine) desc, id asc). The numpy and JVM f64 dot products
+    can disagree only by summation order (~1 ulp), which survives
+    round-to-6 only when the true value sits within ~1e-15 of a
+    rounding boundary; ``candidate_margin`` slots absorb any such
+    boundary row plus round-6 ties at the k-th rank. The +1 covers the
+    query's own row occupying a slot in its home batch.
+
+    Without ``query_filter`` every row is a query: the query set cannot
+    be collected driver-side, so the quadratic crossJoin plan is used —
+    that mode exists for small interactive frames, not the corpus.
     """
 
-    def _transform(df: DataFrame) -> DataFrame:
+    def _all_pairs(df: DataFrame) -> DataFrame:
         base = _normed_vectors(df, id_column, vector_column)
         queries = _normed_vectors(
-            df if query_filter is None else df.filter(query_filter),
-            id_column, vector_column, "_qid", "_qv", "_qn",
+            df, id_column, vector_column, "_qid", "_qv", "_qn",
         )
         pairs = base.crossJoin(F.broadcast(queries)).filter(
             F.col("_id") != F.col("_qid")
@@ -225,6 +251,91 @@ def topk_cosine(
         return (
             scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
+        )
+
+    def _transform(df: DataFrame) -> DataFrame:
+        if query_filter is None:
+            return _all_pairs(df)
+        qrows = (
+            df.filter(query_filter)
+            .select(
+                F.col(id_column).alias("_qid"),
+                to_double_array(F.col(vector_column)).alias("_qv"),
+            )
+            .collect()
+        )
+        if not qrows:
+            return _all_pairs(df.limit(0))
+        qids = [r["_qid"] for r in qrows]
+        qmat = np.stack(
+            [np.asarray(r["_qv"], dtype="float64") for r in qrows]
+        )
+        qnorm = np.linalg.norm(qmat, axis=1)
+        # zero-norm query: JVM cosine is NULL for every pair, so its
+        # top-k is the k id-asc smallest rows; scoring against the raw
+        # zero vector gives an all-ties 0.0 column whose id-asc
+        # batch-local top is exactly that superset
+        qnorm[qnorm == 0.0] = 1.0
+        qmat = qmat / qnorm[:, None]
+        bc_q = df.sparkSession.sparkContext.broadcast(qmat)
+        limit = k + 1 + candidate_margin
+
+        def _candidate_batches(batches):
+            qm = bc_q.value  # (Q, d)
+            nq = qm.shape[0]
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                b = np.stack(pdf["_bv"].to_numpy()).astype("float64")
+                bn = np.linalg.norm(b, axis=1)
+                safe = np.where(bn == 0.0, 1.0, bn)
+                scores = np.round((b @ qm.T) / safe[:, None], 6)
+                # zero-norm corpus rows score NULL in the JVM tier:
+                # NaN sorts after every number in lexsort, matching
+                # NULLS LAST under cosine DESC
+                scores[bn == 0.0, :] = np.nan
+                ids = pdf["_id"].to_numpy()
+                keep = min(limit, len(b))
+                sels = [
+                    np.lexsort((ids, -scores[:, q]))[:keep]
+                    for q in range(nq)
+                ]
+                yield pd.DataFrame(
+                    {
+                        "_qidx": np.repeat(
+                            np.arange(nq, dtype="int32"), keep
+                        ),
+                        "_id": np.concatenate([ids[s] for s in sels]),
+                    }
+                )
+
+        corpus = _scale_out(df).select(
+            F.col(id_column).alias("_id"),
+            to_double_array(F.col(vector_column)).alias("_bv"),
+        )
+        cand_schema = StructType(
+            [
+                StructField("_qidx", IntegerType()),
+                StructField("_id", df.schema[id_column].dataType),
+            ]
+        )
+        qmap = df.sparkSession.createDataFrame(
+            [(int(i), q) for i, q in enumerate(qids)],
+            StructType(
+                [
+                    StructField("_qidx", IntegerType()),
+                    StructField("query_id", df.schema[id_column].dataType),
+                ]
+            ),
+        )
+        cand = (
+            corpus.mapInPandas(_candidate_batches, cand_schema)
+            .join(F.broadcast(qmap), "_qidx")
+            .filter(F.col("_id") != F.col("query_id"))
+            .select("query_id", F.col("_id").alias("neighbor_id"))
+        )
+        return _exact_rerank(
+            df, cand, id_column, vector_column, k, query_filter, "cosine"
         )
 
     return _transform
