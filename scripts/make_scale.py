@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import argparse
 import functools
+import json
 import os
 import sys
 
@@ -81,16 +82,32 @@ def main() -> None:
     # KEY_OFFSETS clear the key ranges of the DRIVER sf0.1 data; to
     # scale an already-scaled directory (e.g. sf10 -> sf100) the
     # offsets must also clear the source's replica-shifted ranges —
-    # pass the source's own multiplier (sf10 was built with mult 100,
-    # so --offset-mult 100). Offsets stay divisible by every
-    # query-filter modulus under integer scaling.
-    ap.add_argument("--offset-mult", type=int, default=1)
+    # the source's own total multiplier. Every make_scale run stamps
+    # ``_scale_meta.json`` in its dest, and a later run on that dir
+    # derives the offset multiplier from the stamp automatically, so
+    # chained rescales cannot silently collide keys (omitting the
+    # multiplier once produced duplicate orderkeys/doc_ids across
+    # replicas: every key join fanned out and a full sf100 probe round
+    # measured corrupted data). --offset-mult remains as an explicit
+    # override for sources that predate the marker.
+    ap.add_argument("--offset-mult", type=int, default=0)
     args = ap.parse_args()
     if args.mult < 1:
         raise SystemExit("--mult must be >= 1")
-    if args.offset_mult < 1:
-        raise SystemExit("--offset-mult must be >= 1")
-    offsets = {k: v * args.offset_mult for k, v in KEY_OFFSETS.items()}
+    if args.offset_mult < 0:
+        raise SystemExit("--offset-mult must be >= 1 when given")
+    meta_path = os.path.join(args.src, "_scale_meta.json")
+    src_mult = 1
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            src_mult = int(json.load(fh)["total_mult"])
+    if args.offset_mult and src_mult > 1 and args.offset_mult != src_mult:
+        raise SystemExit(
+            f"--offset-mult {args.offset_mult} contradicts the source's "
+            f"_scale_meta.json total_mult={src_mult}"
+        )
+    offset_mult = args.offset_mult or src_mult
+    offsets = {k: v * offset_mult for k, v in KEY_OFFSETS.items()}
 
     spark = get_spark(
         "make_scale", master="local[16]", shuffle_partitions=32,
@@ -126,13 +143,23 @@ def main() -> None:
         # (offset_mult encodes the source's own multiplier), so scan
         # parallelism keeps growing when scaling an already-scaled dir
         n_files = max(
-            1, OUT_FILES.get(name, 4) * args.mult * args.offset_mult // 10
+            1, OUT_FILES.get(name, 4) * args.mult * offset_mult // 10
         )
         out.repartition(n_files).write.mode("overwrite").parquet(
             os.path.join(args.dest, f"{name}.parquet")
         )
         print(f"{name}: x{args.mult} via {keyed}")
 
+    with open(os.path.join(args.dest, "_scale_meta.json"), "w") as fh:
+        json.dump(
+            {
+                "total_mult": args.mult * offset_mult,
+                "src": os.path.abspath(args.src),
+                "mult": args.mult,
+                "offset_mult": offset_mult,
+            },
+            fh,
+        )
     print("done ->", args.dest)
 
 
