@@ -55,6 +55,71 @@ def _featurize(df: DataFrame, text_column: str, n_features: int,
     return tf.transform(with_toks).drop("_toks")
 
 
+def _threshold_cap(
+    df: DataFrame,
+    label_column: str,
+    text_column: str,
+    per_label: int,
+    seed,
+) -> DataFrame:
+    """Per-label uniform sample of ~``per_label`` rows, selected by a
+    hash THRESHOLD instead of a ranked window — the fit-cap that
+    survives a 2-label corpus at 100 TB.
+
+    The previous cap (``sampling.cap_per_key`` over the label) ranks by
+    md5 order with ``row_number`` over ``partitionBy(label)`` — and the
+    label column has ~2 distinct values, so the post-shuffle sort runs
+    in TWO tasks and carries the full document text (measured at the
+    sf100 probe before this rewrite: a ~700 s fit stage dominated by a
+    2-task sort). Key-count-degenerate windows don't scale by adding
+    data-parallelism; the fix is to not sort at all:
+
+    1. one narrow aggregate counts rows per (label, md5-bucket) — the
+       same 10k-bucket hash ``sampling._bucket`` uses, keyed on the
+       TEXT so the sample stays uniform, engine-reproducible, and
+       independent of row order/partitioning;
+    2. the bounded (n_labels x 10k) count table collects to the driver
+       (a fit-phase collect, like label discovery) and a per-label
+       bucket threshold is chosen so the selected count is the largest
+       value <= ``per_label`` on bucket boundaries — always keeping at
+       least the first non-empty bucket so no label is dropped;
+    3. selection is a pure scan-side filter ``bucket <= threshold``
+       against the broadcast threshold map — no shuffle, no sort, no
+       text ever moves.
+
+    Granularity: buckets hold ~n/10k rows each, so the realized sample
+    size is ``per_label`` within ~0.01% at scale (never above except
+    via the >=1-bucket floor; slightly below otherwise). The window cap
+    hit ``per_label`` exactly — a 0.01% sample-size wobble is noise to
+    the fit, the 2-task sort was not."""
+    from pywrangler_spark.operators.sampling import _bucket
+
+    b = _bucket(text_column, seed)
+    counts = (
+        df.groupBy(F.col(label_column).alias("_lbl"), b.alias("_b"))
+        .count()
+        .collect()
+    )
+    per_lbl: dict = {}
+    for row in counts:
+        per_lbl.setdefault(row["_lbl"], []).append((row["_b"], row["count"]))
+    thresholds = {}
+    for lbl, buckets in per_lbl.items():
+        total = 0
+        thr = None
+        for bb, cnt in sorted(buckets):
+            if thr is not None and total + cnt > per_label:
+                break
+            total += cnt
+            thr = bb
+        thresholds[lbl] = thr
+    thr_map = F.create_map(
+        *[x for lbl, t in thresholds.items()
+          for x in (F.lit(lbl), F.lit(int(t)))]
+    )
+    return df.filter(b <= thr_map[F.col(label_column)])
+
+
 def suggest_fit_params(
     n_rows: int,
     base_rows: int = 128_000,
@@ -133,22 +198,28 @@ def fit_text_classifier(
     treeAggregate pass over the fit input, so an uncapped fit grows
     linearly with corpus scale while the learned linear model stops
     changing (holdout-equivalence table in SCALE.md: accuracy identical
-    at caps 2k/8k/32k vs the full fit at 10x scale). The sample is
-    ``sampling.cap_per_key`` over the label column in md5-hash order of
-    the TEXT — deterministic across engines, reruns and partitionings,
-    and uniform within each label. Label discovery still runs on the
-    full input, so rare labels are never silently dropped.
+    at caps 2k/8k/32k vs the full fit at 10x scale). The sample is a
+    per-label md5-bucket THRESHOLD over the TEXT hash
+    (:func:`_threshold_cap`) — deterministic across engines, reruns
+    and partitionings, uniform within each label, and selected by a
+    scan-side filter rather than a ranked window (a window partitioned
+    by a 2-value label column sorts the corpus in 2 tasks — the
+    degenerate-key trap, measured and removed at the sf100 probe).
+    Label discovery still runs on the full input, and the threshold
+    always admits a label's first non-empty hash bucket, so rare
+    labels are never silently dropped.
 
     Quota semantics: the cap is split as a PER-LABEL quota of
-    ``max(1, max_fit_rows // n_labels)`` rows. Consequences: (a) with
-    more labels than ``max_fit_rows`` the floor of 1 row per label
-    makes the fit input EXCEED the nominal cap (never-drop-a-label
-    wins over the cap); (b) the division remainder (up to
-    ``n_labels - 1`` rows of budget) goes unused, and a label with
-    fewer rows than its quota does NOT donate its unused share to
-    skewed labels — redistributing would need per-label counts (an
-    extra aggregate pass) to buy back at most ``n_labels - 1`` rows,
-    noise at any cap worth setting."""
+    ``max(1, max_fit_rows // n_labels)`` rows, realized on md5-bucket
+    boundaries (~0.01% granularity at scale; may exceed the quota only
+    via the first-bucket floor). Consequences: (a) with more labels
+    than ``max_fit_rows`` the 1-bucket floor per label can make the
+    fit input EXCEED the nominal cap (never-drop-a-label wins over the
+    cap); (b) the division remainder (up to ``n_labels - 1`` rows of
+    budget) goes unused, and a label with fewer rows than its quota
+    does NOT donate its unused share to skewed labels — redistributing
+    would need a second threshold pass to buy back at most
+    ``n_labels - 1`` rows, noise at any cap worth setting."""
     from pyspark.ml.classification import LogisticRegression
 
     if fit_partitions:
@@ -166,14 +237,8 @@ def fit_text_classifier(
             f"need >= 2 distinct labels, got {len(labels)}"
         )
     if max_fit_rows:
-        from pywrangler_spark.operators.sampling import cap_per_key
-
         per_label = max(1, max_fit_rows // len(labels))
-        df = df.transform(
-            cap_per_key(
-                label_column, per_label, id_column=text_column, seed=seed
-            )
-        )
+        df = _threshold_cap(df, label_column, text_column, per_label, seed)
     idx = {v: float(i) for i, v in enumerate(labels)}
     mapping = F.create_map(
         *[x for v, i in idx.items() for x in (F.lit(v), F.lit(i))]
