@@ -307,6 +307,12 @@ def _aggregate_stages(stages) -> dict:
             / 2**20,
             1,
         ),
+        # The REST stage-level peakExecutionMemory is the SUM of
+        # per-task peaks, so it inflates with task count (a 2048-task
+        # stage reports ~2048x one task's peak, not a resident
+        # figure). Keep the raw max-over-stages for cross-round
+        # comparability, and add a concurrency-normalized estimate:
+        # per-task mean peak x the slots that can run at once.
         "peak_exec_mem_mb": round(
             max(
                 (s.get("peakExecutionMemory", 0) for s in stages),
@@ -315,7 +321,24 @@ def _aggregate_stages(stages) -> dict:
             / 2**20,
             1,
         ),
+        "peak_exec_mem_norm_mb": round(
+            max(
+                (
+                    s.get("peakExecutionMemory", 0)
+                    / max(s.get("numCompleteTasks", 1), 1)
+                    * min(s.get("numCompleteTasks", 1), _BENCH_SLOTS)
+                    for s in stages
+                ),
+                default=0,
+            )
+            / 2**20,
+            1,
+        ),
     }
+
+
+# Executor slots assumed by the normalized peak estimate (local[N]).
+_BENCH_SLOTS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
 def main() -> None:

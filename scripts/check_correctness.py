@@ -11,7 +11,9 @@ Usage: python scripts/check_correctness.py [--sf /root/testdata/sf0.01] [names..
 from __future__ import annotations
 
 import argparse
+import json
 import os
+import subprocess
 import sys
 import time
 
@@ -54,6 +56,11 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 def main() -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("--sf", default="/root/testdata/sf0.01")
+    parser.add_argument(
+        "--json",
+        default="",
+        help="write a machine-readable per-query result map to this path",
+    )
     parser.add_argument("names", nargs="*")
     args = parser.parse_args()
 
@@ -72,6 +79,7 @@ def main() -> int:
     oracles = entry_mod.oracle_sql()
     names = args.names or sorted(qs)
     failures = []
+    results: dict[str, dict] = {}
     for name in names:
         t0 = time.time()
         try:
@@ -79,15 +87,18 @@ def main() -> int:
         except Exception as exc:
             print(f"FAIL {name}: spark error: {exc}")
             failures.append(name)
+            results[name] = {"status": "fail", "detail": f"spark error: {exc}"}
             continue
         if name not in oracles:
             print(f"SKIP {name}: no oracle (rows-only: {len(spark_pdf)})")
+            results[name] = {"status": "rows_only", "rows": len(spark_pdf)}
             continue
         try:
             duck_pdf = con.execute(oracles[name]).fetchdf()
         except Exception as exc:
             print(f"FAIL {name}: duckdb error: {exc}")
             failures.append(name)
+            results[name] = {"status": "fail", "detail": f"duckdb error: {exc}"}
             continue
         a, b = normalize(spark_pdf), normalize(duck_pdf)
         status = []
@@ -106,10 +117,36 @@ def main() -> int:
         if status:
             print(f"FAIL {name}: {'; '.join(status)} ({took:.1f}s)")
             failures.append(name)
+            results[name] = {"status": "fail", "detail": "; ".join(status)}
         else:
             print(f"OK   {name}: {len(a)} rows match ({took:.1f}s)")
+            results[name] = {
+                "status": "ok",
+                "rows": len(a),
+                "sec": round(took, 2),
+            }
 
     print(f"\n{len(names) - len(failures)}/{len(names)} queries match")
+    if args.json:
+        head = subprocess.run(
+            ["git", "rev-parse", "HEAD"],
+            capture_output=True,
+            text=True,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ).stdout.strip()
+        with open(args.json, "w") as fh:
+            json.dump(
+                {
+                    "head": head,
+                    "sf_dir": args.sf,
+                    "n_checked": len(names),
+                    "n_failed": len(failures),
+                    "queries": results,
+                },
+                fh,
+                indent=1,
+                default=str,
+            )
     return 1 if failures else 0
 
 
