@@ -210,6 +210,75 @@ def mask_duplicate_spans(
     return _transform
 
 
+def duplicate_span_stats(
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    n: int = 5,
+    min_docs: int = 2,
+    hot_min_docs: int = 100_000,
+) -> Callable[[DataFrame], DataFrame]:
+    """Stats-only projection of :func:`mask_duplicate_spans` —
+    ``(id, n_masked, dup_ratio)`` without the other input columns.
+
+    Same hit-position pipeline and identical values, different final
+    join shape: :func:`mask_duplicate_spans` must join the per-doc
+    stats back to the FULL input row (its contract appends columns), so
+    once the stats side outgrows the broadcast threshold that join
+    degrades to a sort-merge that shuffles every document's text —
+    bytes the ``(doc_id, n_masked, dup_ratio)`` output never looks at.
+    Here the token count is computed as a narrow scan-side projection
+    ``(id, token_count(text))`` and joined to the equally narrow
+    ``(id, n_masked)`` stats — two ~16-byte/row tables, so the final
+    join moves corpus-COUNT bytes, not corpus-TEXT bytes, at every
+    scale.
+
+    Measured (sf100 probe, bench_spanstats_sf100.json vs the
+    appending form's re-probe): 170.2 -> 135.6 s and the shuffle drops
+    by exactly the corpus's compressed text mass (~0.76 GB of 11.0 GB
+    total — this synthetic corpus averages only ~300 text bytes/doc,
+    so gram postings dominate its shuffle). The saving is
+    proportional to document length: at real web-document sizes
+    (3-30 KB/doc) the text bytes this form avoids shuffling are
+    10-100x the stats bytes it moves. Use this form when only the
+    per-doc statistics are consumed (gates, reports, mix planners);
+    use ``mask_duplicate_spans`` when the stats must ride along with
+    the documents.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    if hot_min_docs < min_docs:
+        raise ValueError(
+            f"hot_min_docs must be >= min_docs, got {hot_min_docs}"
+        )
+
+    def _transform(df: DataFrame) -> DataFrame:
+        hp = _hit_position_sets(
+            df, id_column, text_column, n, min_docs, hot_min_docs
+        )
+        masked = hp.select(
+            F.col("_id").alias(id_column),
+            _union_length(F.col("_hp"), n).alias("n_masked"),
+        )
+        toks = df.select(
+            F.col(id_column),
+            token_count(F.col(text_column)).alias("_n_tok"),
+        )
+        out = toks.join(masked, id_column, "left")
+        n_masked = F.coalesce(F.col("n_masked"), F.lit(0)).cast("long")
+        return out.select(
+            F.col(id_column),
+            n_masked.alias("n_masked"),
+            F.when(F.col("_n_tok") > 0, n_masked / F.col("_n_tok"))
+            .otherwise(F.lit(0.0))
+            .alias("dup_ratio"),
+        )
+
+    _transform.__name__ = "duplicate_span_stats"
+    return _transform
+
+
 def excise_duplicate_spans(
     id_column: str = "doc_id",
     text_column: str = "text",

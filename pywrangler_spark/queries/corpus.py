@@ -293,11 +293,17 @@ JOIN toks t USING (doc_id)
 
 @register("dedup_span_mask", oracle=_SPAN_ORACLE)
 def dedup_span_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pywrangler_spark.operators.spandedup import mask_duplicate_spans
+    # stats-only form: the output never reads the text past the token
+    # count, so the final doc-keyed join moves two narrow tables
+    # instead of re-shuffling corpus text once the stats side outgrows
+    # the broadcast threshold (operators/spandedup.py docstring; the
+    # column-appending mask_duplicate_spans stays the operator for
+    # pipelines that carry the stats alongside the documents)
+    from pywrangler_spark.operators.spandedup import duplicate_span_stats
 
     return (
         _docs(spark, sf_dir)
-        .transform(mask_duplicate_spans("doc_id", "text", n=5, min_docs=2))
+        .transform(duplicate_span_stats("doc_id", "text", n=5, min_docs=2))
         .select(
             "doc_id",
             "n_masked",

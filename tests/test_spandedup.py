@@ -309,3 +309,90 @@ class TestExcisePreserveWhitespace:
         assert "license" not in got_spark[2].lower().replace(
             "content", ""
         ) or "header" not in got_spark[2].lower()
+
+
+class TestDuplicateSpanStats:
+    """Stats-only form: identical values to mask_duplicate_spans,
+    narrow final join (the per-doc stats join must never shuffle the
+    text column — a saving proportional to document length; see the
+    operator docstring's sf100 measurements)."""
+
+    def test_matches_column_appending_form(self, spark):
+        from pywrangler_spark.operators.spandedup import (
+            duplicate_span_stats,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, "a b c d e x y z w v"),
+                (2, "q r a b c d e s t u"),
+                (3, "n o p aa bb cc dd ee ff gg"),
+                (4, "a b"),
+                (5, None),
+                (6, ""),
+            ],
+            ["doc_id", "text"],
+        )
+        want = {
+            r["doc_id"]: (r["n_masked"], r["dup_ratio"])
+            for r in df.transform(
+                mask_duplicate_spans(n=5, min_docs=2)
+            ).collect()
+        }
+        got = df.transform(duplicate_span_stats(n=5, min_docs=2))
+        assert set(got.columns) == {"doc_id", "n_masked", "dup_ratio"}
+        got = {
+            r["doc_id"]: (r["n_masked"], r["dup_ratio"])
+            for r in got.collect()
+        }
+        assert got == want
+
+    def test_no_exchange_carries_text(self, spark):
+        """Every shuffle in the stats-only plan moves hashes, ids, or
+        counts — never the text column. The appending form necessarily
+        shuffles text once the stats side stops broadcasting (forced
+        here via threshold=-1), which is exactly the behavior the
+        stats-only form exists to avoid."""
+        import re
+
+        from pywrangler_spark.operators.spandedup import (
+            duplicate_span_stats,
+        )
+        from pywrangler_spark.plans.inspect import explain_string
+
+        df = spark.createDataFrame(
+            [(1, "a b c d e f"), (2, "a b c d e f")], ["doc_id", "text"]
+        )
+        keys = (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+        old = {k: spark.conf.get(k, None) for k in keys}
+        for k in keys:
+            spark.conf.set(k, "-1")
+        try:
+            stats_plan = explain_string(
+                df.transform(duplicate_span_stats(n=5, min_docs=2))
+            )
+            mask_plan = explain_string(
+                df.transform(mask_duplicate_spans(n=5, min_docs=2))
+            )
+        finally:
+            for k, v in old.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+
+        def exchanges_with_text(plan: str) -> int:
+            # formatted-mode details: each node block starts "(N) Op";
+            # an Exchange block's Input line lists what it shuffles
+            blocks = re.split(r"\n\(\d+\) ", plan)
+            return sum(
+                1
+                for b in blocks
+                if b.startswith("Exchange") and "text#" in b
+            )
+
+        assert exchanges_with_text(stats_plan) == 0
+        assert exchanges_with_text(mask_plan) >= 1
