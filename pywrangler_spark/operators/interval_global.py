@@ -91,8 +91,21 @@ def identify_intervals_global(
     orderby = list(base.orderby_columns)
     asc = list(base.ascending)
     spark = df.sparkSession
+    # Default the range-exchange width to the AQE initial width when
+    # the session declares one (session.get_spark sets 8x the slot
+    # count): an explicit repartitionByRange(N) is REPARTITION_BY_NUM,
+    # which AQE never coalesces, so the pinned slot-count default made
+    # each task range-sort dataSize/slots bytes — measured 69 GB of
+    # external-sort spill at the sf100 probe. Starting 8x wider bounds
+    # the per-task sort mass the same way the session bounds ordinary
+    # exchanges; at small scale the extra partitions are empty-ish
+    # local windows (three cheap passes), not a correctness concern —
+    # every pass stitches across partitions by _pid regardless of N.
     n_parts = num_partitions or int(
-        spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.get(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            spark.conf.get("spark.sql.shuffle.partitions"),
+        )
     )
     sort_cols = [
         F.col(c).asc() if a else F.col(c).desc()
