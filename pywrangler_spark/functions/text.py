@@ -68,17 +68,25 @@ def bpe_token_count(col: Column) -> Column:
     return F.regexp_count(col, F.lit(BPE_PATTERN)).cast("long")
 
 
+_ASCII_LETTERS = (
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+)
+
+
 def quality_alpha_ratio(col: Column) -> Column:
     """Alphabetic-character ratio — a standard cheap quality signal.
     DuckDB: ``len(regexp_replace(x,'[^A-Za-z]','','g'))*1.0/nullif(len(x),0)``.
 
-    Counted with ``regexp_count('[A-Za-z]')`` instead of measuring a
-    ``regexp_replace``-filtered copy — same value, but the filtered
-    STRING is never materialized per row. This was the text_stats
-    decade-max's actual cost: the probe measured 8.5 → 5.1 s at sf10
-    from this one change (``scripts/text_stats_probe.py``, equivalence
-    asserted by full-column hash before timing)."""
-    alpha = F.regexp_count(col, F.lit("[A-Za-z]"))
+    Counted as ``length - length(translate(col, letters, ''))`` — a
+    char-map lookup with NO regex engine in the loop. Three
+    formulations were measured head-to-head at sf10 (value-equivalent
+    by full-column comparison): ``length(regexp_replace(...))`` is fast
+    standalone but doubles text_stats' wide stat row (8.8 vs 5.2 s);
+    ``regexp_count('[A-Za-z]')`` fixes text_stats but runs the
+    per-char matcher loop everywhere (quality_gate_docs 2.55 → 4.46 s,
+    caught by the r9 paired A/B); ``translate`` matches the best of
+    both in BOTH shapes (text_stats 5.2 s, quality_gate 2.9 s)."""
+    alpha = F.length(col) - F.length(F.translate(col, _ASCII_LETTERS, ""))
     return alpha * 1.0 / F.nullif(F.length(col), F.lit(0))
 
 
