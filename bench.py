@@ -312,7 +312,13 @@ def _aggregate_stages(stages) -> dict:
         # stage reports ~2048x one task's peak, not a resident
         # figure). Keep the raw max-over-stages for cross-round
         # comparability, and add a concurrency-normalized estimate:
-        # per-task mean peak x the slots that can run at once.
+        # per-task MEAN peak x the slots that can run at once. This is
+        # a mean-based ESTIMATE, not an upper bound — when task peaks
+        # are skewed, the concurrently-resident peak can exceed it
+        # (max-per-task x slots would bound it, but the stage REST
+        # endpoint exposes only the sum; task-level summaries cost a
+        # withSummaries sweep per stage). Readers citing this figure
+        # (README, SCALE.md) label it as the mean-based estimate.
         "peak_exec_mem_mb": round(
             max(
                 (s.get("peakExecutionMemory", 0) for s in stages),

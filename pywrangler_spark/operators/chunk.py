@@ -76,6 +76,7 @@ def chunk_content_defined(
     chunk_column: str = "chunk",
     index_column: str = "chunk_index",
     token_offset_column: str = "token_start",
+    num_partitions: int = None,
 ) -> Callable[[DataFrame], DataFrame]:
     """Content-defined chunking: boundaries fall where the LOCAL text
     says so, not at fixed offsets (public methodology: Rabin/CDC
@@ -111,9 +112,21 @@ def chunk_content_defined(
     exchange), then rebuild chunks with
     ``array_sort(collect_list(struct(pos, tok)))`` in a doc-keyed
     aggregate that reuses the window's hash partitioning (grouping keys
-    are a superset of the partition key → no second exchange). The input
-    is ``_scale_out``-repartitioned first so a single-file corpus still
-    uses every core. One exchange total, all codegen.
+    are a superset of the partition key → no second exchange). The one
+    exchange is an EXPLICIT doc-keyed repartition placed BEFORE the
+    explode — it ships each document once as a compact token array
+    instead of letting the window shuffle per-token rows (id repeated
+    per token), and it is deliberately wide
+    (:func:`pywrangler_spark.util.wide_exchange_width`, the session's
+    AQE initial width): the implicit window exchange was AQE-coalesced
+    to advisory-sized partitions whose decompressed token rows exceeded
+    per-task execution memory — measured 13.6 GB of sort spill at the
+    sf100 probe. Bounding per-task token mass at 1/8 of that keeps the
+    window sort and the collect_list buffers in memory; at small scale
+    the extra partitions are near-empty, not a cost. The repartition
+    also gives a single-file corpus full-core parallelism (previously a
+    separate ``_scale_out`` round-robin exchange). One exchange total,
+    all codegen.
 
     Output: ``(id, chunk_index, token_start, chunk, n_tokens)`` —
     0-based token offsets, chunks rejoined with single spaces.
@@ -127,14 +140,17 @@ def chunk_content_defined(
 
         from pywrangler_spark.functions.hashing import hash56
         from pywrangler_spark.functions.text import normalize_text, words
-        from pywrangler_spark.operators.dedup import _scale_out
+        from pywrangler_spark.util import wide_exchange_width
 
         text = F.col(text_column)
-        base = _scale_out(
+        n_parts = num_partitions or wide_exchange_width(df.sparkSession)
+        base = (
             df.filter(text.isNotNull() & (normalize_text(text) != ""))
-        ).select(
-            id_column,
-            words(text).alias("_ws"),
+            .select(
+                id_column,
+                words(text).alias("_ws"),
+            )
+            .repartition(n_parts, F.col(id_column))
         )
         tok = base.select(
             id_column,

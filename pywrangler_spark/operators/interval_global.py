@@ -101,12 +101,11 @@ def identify_intervals_global(
     # exchanges; at small scale the extra partitions are empty-ish
     # local windows (three cheap passes), not a correctness concern —
     # every pass stitches across partitions by _pid regardless of N.
-    n_parts = num_partitions or int(
-        spark.conf.get(
-            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-            spark.conf.get("spark.sql.shuffle.partitions"),
-        )
-    )
+    # The derivation is capped for foreign sessions that tune the AQE
+    # initial width into the thousands — see wide_exchange_width.
+    from pywrangler_spark.util import wide_exchange_width
+
+    n_parts = num_partitions or wide_exchange_width(spark)
     sort_cols = [
         F.col(c).asc() if a else F.col(c).desc()
         for c, a in zip(orderby, asc)

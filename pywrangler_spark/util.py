@@ -56,6 +56,42 @@ def collect_init_params(cls: Type) -> Tuple[str, ...]:
     return tuple(names)
 
 
+def wide_exchange_width(spark, cap_factor: int = 16) -> int:
+    """Partition count for an explicitly-widened exchange whose per-task
+    sort/aggregation mass must stay bounded as the data grows.
+
+    ``repartition(N, ...)`` / ``repartitionByRange(N, ...)`` are
+    REPARTITION_BY_NUM — AQE never coalesces OR widens them — so a
+    data-growing exchange pinned to the slot count makes each task sort
+    dataSize/slots bytes (measured: 69 GB of external-sort spill at the
+    sf100 interval_global probe). Defaulting to the session's declared
+    AQE initial width bounds per-task mass the same way the session
+    bounds ordinary exchanges. Sessions NOT built by
+    :func:`pywrangler_spark.session.get_spark` may tune
+    ``initialPartitionNum`` into the thousands (a common cluster
+    setting); since this count is never coalesced back, cap the derived
+    default at ``cap_factor x defaultParallelism`` so a foreign session
+    doesn't pay thousands of range-sampled/near-empty partitions. The
+    floor is ``spark.sql.shuffle.partitions``. Callers expose a
+    ``num_partitions`` override for layouts this heuristic can't know.
+    """
+    conf = spark.conf
+    base = int(conf.get("spark.sql.shuffle.partitions"))
+    try:
+        initial = int(
+            conf.get(
+                "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+            )
+        )
+    except Exception:
+        initial = base
+    try:
+        cap = cap_factor * int(spark.sparkContext.defaultParallelism)
+    except Exception:  # Spark Connect: no sparkContext; trust the conf
+        cap = initial
+    return max(base, min(initial, cap))
+
+
 def is_available(*modules: str) -> bool:
     """True iff every named module can be imported.
 

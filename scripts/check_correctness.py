@@ -128,12 +128,15 @@ def main() -> int:
 
     print(f"\n{len(names) - len(failures)}/{len(names)} queries match")
     if args.json:
-        head = subprocess.run(
+        proc = subprocess.run(
             ["git", "rev-parse", "HEAD"],
             capture_output=True,
             text=True,
             cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        ).stdout.strip()
+        )
+        # a silently-empty head would weaken the artifact's provenance
+        # claim — record an explicit null when git is unavailable
+        head = proc.stdout.strip() if proc.returncode == 0 else None
         with open(args.json, "w") as fh:
             json.dump(
                 {

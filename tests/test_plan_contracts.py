@@ -158,12 +158,16 @@ class TestRound6PlanContracts:
     def test_cdc_chunker_is_codegen_window_agg(self, spark):
         # the 30x rewrite: no higher-order filter lambda in the plan;
         # lag/sum windows + ObjectHashAggregate over ONE doc-keyed
-        # exchange (plus the _scale_out round robin)
+        # exchange. That exchange must be the explicit WIDE repartition
+        # (REPARTITION_BY_NUM, AQE-initial width) placed before the
+        # explode — the AQE-coalesced implicit window exchange spilled
+        # 13.6 GB at the sf100 probe (SCALE.md r9 batch 2)
         df = QUERIES["chunk_docs_cdc"](spark, SF)
         plan = explain_string(df)
         assert "filter(" not in plan.split("\n\n")[0]
         assert "ObjectHashAggregate" in plan
-        assert count_exchanges(df) <= 2
+        assert count_exchanges(df) == 1
+        assert "REPARTITION_BY_NUM" in plan
 
     def test_resample_grid_parallelism_pinned(self, spark):
         # the AQE-coalesce trap: the span aggregate feeding the grid

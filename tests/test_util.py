@@ -125,3 +125,53 @@ class TestTieCachesToResult:
         del out
         gc.collect()
         assert n_cached() < before
+
+
+class TestWideExchangeWidth:
+    def test_declared_initial_width_wins_under_cap(self, spark):
+        from pywrangler_spark.util import wide_exchange_width
+
+        key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+        old = spark.conf.get(key, None)
+        try:
+            # session.get_spark declares 8x slots; the
+            # defaultParallelism-based cap (16x) sits above that, so
+            # the declared width wins
+            declared = 8 * spark.sparkContext.defaultParallelism
+            spark.conf.set(key, str(declared))
+            assert wide_exchange_width(spark) == declared
+        finally:
+            if old is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, old)
+
+    def test_foreign_session_huge_initial_is_capped(self, spark):
+        from pywrangler_spark.util import wide_exchange_width
+
+        key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+        old = spark.conf.get(key, None)
+        try:
+            spark.conf.set(key, "8192")  # a common cluster tuning
+            cap = 16 * spark.sparkContext.defaultParallelism
+            assert wide_exchange_width(spark) == cap
+        finally:
+            if old is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, old)
+
+    def test_never_below_shuffle_partitions(self, spark):
+        from pywrangler_spark.util import wide_exchange_width
+
+        key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+        old = spark.conf.get(key, None)
+        try:
+            spark.conf.set(key, "2")
+            base = int(spark.conf.get("spark.sql.shuffle.partitions"))
+            assert wide_exchange_width(spark) == base
+        finally:
+            if old is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, old)
