@@ -20,10 +20,12 @@ Order emitted to ``pywrangler_spark/queries/_priority.py`` (imported by
 the registry) and recorded in ``rows_age.json``:
 
 1. never-green queries (registry order),
-2. rewritten-since-green (oldest green row first),
-3. everything else, oldest green row first (registry order tiebreak)
-   — so the driver's 50-query prefix window self-rotates through the
-   stalest rows each round.
+2. everything else by OLDEST green round first; within a vintage,
+   rewritten-since-green rows lead (registry order tiebreak) — so the
+   driver's 50-query prefix window drains the stalest evidence every
+   round, and a wide refactor can no longer starve old rows out of
+   the window by marking half the registry rewritten (the r9
+   verdict's rotation finding).
 
 Run per round after code changes: ``python scripts/gen_priority.py``.
 """
@@ -264,12 +266,25 @@ def main() -> int:
         report[name] = entry
 
     def sort_key(name: str):
+        # Never-green first, then OLDEST green round first — rewritten
+        # rows are bumped only WITHIN their vintage. The old policy
+        # (all rewritten before all stale) let a wide refactor mark
+        # half the registry rewritten and starve the stalest rows out
+        # of the 50-row window for rounds on end (the r9 verdict's
+        # finding #1: 11 rows stuck at r5). Vintage-first drains the
+        # oldest evidence every round no matter how much code moved;
+        # a rewritten row still reaches the gate ahead of unmodified
+        # peers of the same age, and the local full-registry
+        # check_correctness pass covers whatever escapes the window.
         e = report[name]
         if e["last_green_round"] is None:
-            return (0, 0, e["registry_index"])
-        if e["rewritten_since"]:
-            return (1, e["last_green_round"], e["registry_index"])
-        return (2, e["last_green_round"], e["registry_index"])
+            return (0, 0, 0, e["registry_index"])
+        return (
+            1,
+            e["last_green_round"],
+            0 if e["rewritten_since"] else 1,
+            e["registry_index"],
+        )
 
     order = sorted(report, key=sort_key)
 
@@ -288,8 +303,8 @@ def main() -> int:
         '"""GENERATED by scripts/gen_priority.py — do not edit.',
         "",
         "Driver-gate evaluation order: never-green queries first, then",
-        "queries rewritten since their last green CORRECTNESS row, then",
-        "stalest-green first. Regenerate each round after code changes.",
+        "oldest-green-round first (rewritten-since-green rows lead",
+        "within a vintage). Regenerate each round after code changes.",
         '"""',
         "",
         "_PRIORITY = [",
