@@ -16,10 +16,17 @@ Plan shape at 100 TB:
 
 1. positional gram stream: scan-side posexplode of (doc_id, pos,
    gram_hash) — 8-byte hashes, never gram strings;
-2. duplicated-gram set: count DISTINCT doc_ids per gram hash
-   (partial_count map-side) and keep ``>= min_docs`` — this set is NOT
-   broadcastable in general (boilerplate scales with the corpus), so
-   the gram stream re-joins it on the hash. A mega-common gram is
+2. duplicated-gram set: doc frequency per gram hash, counted over a
+   SECOND scan pass that dedups grams per document scan-side
+   (``shingles_from_words(distinct=True)``) so the aggregation is a
+   plain map-side-combining ``count`` whose exchange is bounded by
+   mappers x vocabulary — not ``count_distinct`` over the positional
+   stream, whose distinct-rewrite exchange carries every (gram, doc)
+   pair and grows with corpus replication (measured 10.2 -> 6.9 GB
+   total pipeline shuffle and 0.68x time at sf100). Keep
+   ``>= min_docs`` — this set
+   is NOT broadcastable in general (boilerplate scales with the
+   corpus), so the gram stream re-joins it on the hash. A mega-common gram is
    exactly a skewed join key, and **AQE's skew-join rule cannot fire
    here**: ``OptimizeSkewedJoin`` only splits a skewed partition when
    BOTH join children read bare shuffle stages, and the dup side has
@@ -93,6 +100,41 @@ def _positional_grams(
     )
 
 
+def _distinct_doc_grams(
+    df: DataFrame, id_column: str, text_column: str, n: int
+) -> DataFrame:
+    """``(_id, _gh)`` with one row per (document, distinct gram) — the
+    doc-frequency stream, deduplicated SCAN-SIDE via
+    ``shingles_from_words(distinct=True)`` so the consumer can count
+    documents with a plain ``count`` instead of ``count_distinct``.
+
+    Why this exists: ``count_distinct(_id)`` over the positional stream
+    plans as the two-phase distinct rewrite whose exchange carries every
+    distinct (gram, doc) PAIR — linear in the corpus even though the
+    vocabulary being counted is not (replicated/boilerplate corpora add
+    docs, not grams). Scan-side dedup makes the pairs unique by
+    construction, so the count is a partial_count that map-side-combines
+    to one (gram, n) row per mapper per distinct gram — the exchange is
+    bounded by mappers x vocabulary. Measured (sf100 same-window
+    isolated probe, bench_spanmask_count_probe_sf100.json): the
+    span-stats pipeline's total shuffle drops 10.2 -> 6.9 GB and the
+    decade-max query runs 227.9 -> 154.0 s (0.68x) with bit-identical
+    output; sf1/sf10 are neutral-to-better with the same ~5x cut on
+    the count exchange."""
+    tokenized = df.select(
+        F.col(id_column).alias("_id"), words(F.col(text_column)).alias("_w")
+    )
+    exploded = tokenized.filter(F.size("_w") >= n).select(
+        "_id",
+        F.explode(
+            shingles_from_words(F.col("_w"), n, distinct=True)
+        ).alias("_g"),
+    )
+    return exploded.filter(F.col("_g") != "").select(
+        "_id", hash56(F.col("_g")).alias("_gh")
+    )
+
+
 def _hit_position_sets(
     df: DataFrame,
     id_column: str,
@@ -118,9 +160,14 @@ def _hit_position_sets(
     taxed the FOLLOWING bench query at sf10 (rolling window 2.3 s →
     21.7 s after this operator, recovering over minutes)."""
     grams = _positional_grams(df, id_column, text_column, n)
+    # doc frequency from the scan-side-distinct stream: plain count
+    # with map-side combine, NOT count_distinct over the positional
+    # stream (whose distinct-rewrite exchange carries every (gram,
+    # doc) pair — see _distinct_doc_grams)
     dup = (
-        grams.groupBy("_gh")
-        .agg(F.count_distinct("_id").alias("_nd"))
+        _distinct_doc_grams(df, id_column, text_column, n)
+        .groupBy("_gh")
+        .agg(F.count(F.lit(1)).alias("_nd"))
         .filter(F.col("_nd") >= min_docs)
     )
     hot = dup.filter(F.col("_nd") >= hot_min_docs).select("_gh")
