@@ -28,6 +28,16 @@ the registry) and recorded in ``rows_age.json``:
    verdict's rotation finding).
 
 Run per round after code changes: ``python scripts/gen_priority.py``.
+
+ORDER OF OPERATIONS (the r10 verdict's finding #2): the freshness
+ledger must be stamped POST-GATE — i.e. run this script only *after*
+the driver's ``CORRECTNESS_r{N}.json`` for the round being summarized
+is committed, so ``rounds_seen`` includes that round and
+``last_green_round`` reflects the window it claims to describe. A
+pre-gate run silently describes the previous round's world. At round
+N+1 start: (1) confirm ``CORRECTNESS_r{N}.json`` is committed, (2) run
+this script, (3) commit ``rows_age.json`` + ``_priority.py`` before
+any code change that would mark rows rewritten.
 """
 
 from __future__ import annotations
