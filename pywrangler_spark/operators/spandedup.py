@@ -120,7 +120,16 @@ def _distinct_doc_grams(
     span-stats pipeline's total shuffle drops 10.2 -> 6.9 GB and the
     decade-max query runs 227.9 -> 154.0 s (0.68x) with bit-identical
     output; sf1/sf10 are neutral-to-better with the same ~5x cut on
-    the count exchange."""
+    the count exchange.
+
+    Collision caveat vs the superseded ``count_distinct`` form: rows
+    are distinct per (document, gram TEXT) scan-side, then hashed, so
+    two distinct grams in one document that collide under
+    :func:`hash56` count that document twice toward ``_nd``; the old
+    post-hash ``count_distinct(_id)`` grouped by ``_gh`` would have
+    counted it once. At 56 bits a within-document collision needs two
+    of a document's ~10³ grams to share a hash (~1e-11 per document),
+    and ``_nd`` only feeds >= thresholds — accepted, not silent."""
     tokenized = df.select(
         F.col(id_column).alias("_id"), words(F.col(text_column)).alias("_w")
     )

@@ -76,7 +76,17 @@ def wide_exchange_width(spark, cap_factor: int = 16) -> int:
     ``num_partitions`` override for layouts this heuristic can't know.
     """
     conf = spark.conf
-    base = int(conf.get("spark.sql.shuffle.partitions"))
+    try:
+        base = int(conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        # foreign sessions can set this key non-numeric (e.g. some
+        # managed platforms use 'auto'); fall back to the cluster's
+        # slot count, or Spark's shipped default where even that is
+        # unavailable (Spark Connect)
+        try:
+            base = int(spark.sparkContext.defaultParallelism)
+        except Exception:
+            base = 200
     try:
         initial = int(
             conf.get(

@@ -152,7 +152,11 @@ class TestWideExchangeWidth:
         key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
         old = spark.conf.get(key, None)
         try:
-            spark.conf.set(key, "8192")  # a common cluster tuning
+            # derive "huge" from the host's slot count so the 16x cap
+            # is the binding term on any box (a hardcoded 8192 falls
+            # under the cap on hosts with >512 cores)
+            huge = 32 * spark.sparkContext.defaultParallelism
+            spark.conf.set(key, str(huge))  # a common cluster tuning
             cap = 16 * spark.sparkContext.defaultParallelism
             assert wide_exchange_width(spark) == cap
         finally:
@@ -175,3 +179,47 @@ class TestWideExchangeWidth:
                 spark.conf.unset(key)
             else:
                 spark.conf.set(key, old)
+
+    def test_non_numeric_shuffle_partitions_falls_back(self):
+        # some managed platforms set spark.sql.shuffle.partitions to
+        # 'auto'; OSS Spark rejects setting it non-numeric at runtime,
+        # so exercise the guard through a stub session
+        from pywrangler_spark.util import wide_exchange_width
+
+        class _Conf:
+            def get(self, key):
+                return {
+                    "spark.sql.shuffle.partitions": "auto",
+                    "spark.sql.adaptive.coalescePartitions"
+                    ".initialPartitionNum": "64",
+                }[key]
+
+        class _SC:
+            defaultParallelism = 8
+
+        class _Spark:
+            conf = _Conf()
+            sparkContext = _SC()
+
+        # base falls back to defaultParallelism (8); declared initial
+        # 64 is under the 16x8 cap, so it wins
+        assert wide_exchange_width(_Spark()) == 64
+
+    def test_non_numeric_everything_falls_back_to_default(self):
+        from pywrangler_spark.util import wide_exchange_width
+
+        class _Conf:
+            def get(self, key):
+                if key == "spark.sql.shuffle.partitions":
+                    return "auto"
+                raise Exception("unset")
+
+        class _Spark:  # Spark Connect shape: no sparkContext attribute
+            conf = _Conf()
+
+            @property
+            def sparkContext(self):
+                raise Exception("no sparkContext on Connect")
+
+        # base -> 200 shipped default; initial -> base; cap -> initial
+        assert wide_exchange_width(_Spark()) == 200
