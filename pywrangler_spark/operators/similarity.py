@@ -93,6 +93,25 @@ def hyperplanes(n_planes: int, dim: int, seed: int = 42) -> List[List[float]]:
     return rng.standard_normal((n_planes, dim)).round(6).tolist()
 
 
+def rademacher_hyperplanes(
+    n_planes: int, dim: int, seed: int = 42
+) -> List[List[float]]:
+    """Deterministic ±1 hyperplanes (sign projections, Achlioptas-style).
+
+    Same LSH family as :func:`hyperplanes` in expectation, with one
+    extra property that matters for cross-engine verification: against
+    integer-valued vectors (e.g. hashed token counts) the projection is
+    a sum of ±integers — EXACT in f64 regardless of summation order —
+    so the bucket bits any SQL engine computes from the same constants
+    are bit-identical to Spark's, never one-ulp-of-zero coin flips.
+    Gaussian planes round-trip through decimal literals and leave the
+    sign of a near-zero projection at the mercy of fp addition order."""
+    rng = np.random.RandomState(seed)
+    return np.where(
+        rng.standard_normal((n_planes, dim)) >= 0.0, 1.0, -1.0
+    ).tolist()
+
+
 def _lsh_bucket(vec_column: str, planes: Sequence[Sequence[float]]) -> Column:
     """Sign-of-projection bit bucket for a double-array column.
 
@@ -352,6 +371,7 @@ def topk_cosine_lsh(
     multiprobe: bool = True,
     dim: Optional[int] = None,
     probe_dim: bool = False,
+    plane_kind: str = "gaussian",
 ) -> Callable[[DataFrame], DataFrame]:
     """Approximate top-k cosine neighbours via random-hyperplane LSH.
 
@@ -368,6 +388,13 @@ def topk_cosine_lsh(
     interactive use only, ``probe_dim=True`` opts in to a one-row
     metadata probe at build time — a driver-side action a production
     pipeline must not take, hence the explicit opt-in.
+
+    ``plane_kind='rademacher'`` swaps the Gaussian hyperplanes for ±1
+    sign projections (:func:`rademacher_hyperplanes`): same family in
+    expectation, and against integer-valued vectors the bucket bits
+    become exact integer arithmetic — bit-reproducible by any SQL
+    engine from the same constants (the oracle path for
+    ``docvec_ann_lsh_serve``).
     """
     if dim is None and not probe_dim:
         raise ValueError(
@@ -376,13 +403,23 @@ def topk_cosine_lsh(
             "probe_dim=True to explicitly opt in to a one-row probe for "
             "interactive use."
         )
+    if plane_kind not in ("gaussian", "rademacher"):
+        raise ValueError(
+            f"plane_kind must be 'gaussian' or 'rademacher', "
+            f"got {plane_kind!r}"
+        )
 
     def _transform(df: DataFrame) -> DataFrame:
         d = dim if dim is not None else len(
             df.select(vector_column).first()[0]
         )
+        plane_fn = (
+            rademacher_hyperplanes
+            if plane_kind == "rademacher"
+            else hyperplanes
+        )
         tables = [
-            hyperplanes(n_planes, d, seed + 1000 * t)
+            plane_fn(n_planes, d, seed + 1000 * t)
             for t in range(n_tables)
         ]
 

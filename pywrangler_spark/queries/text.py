@@ -917,6 +917,131 @@ def docvec_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- LSH-only serve path (the production shape; the gate above is the
+# audit twin) -----------------------------------------------------------------
+def _docvec_serve_oracle(
+    dim: int = 64, n_planes: int = 8, k: int = 10, max_tables: int = 9
+) -> str:
+    """DuckDB SQL reproducing ``docvec_ann_lsh_serve`` bit-for-bit.
+
+    Possible because every stage is exact cross-engine arithmetic:
+    hashed token-count vectors (md5/hash56, integer counts), ±1
+    Rademacher hyperplanes (integer projections — no fp-order sign
+    hazard; the same numpy constants are embedded below), round-6
+    cosine over integer dot products (the op order the neardup oracle
+    already hash-matches). ``n_tables`` is schedule-derived from the
+    corpus count IN SQL (mirroring ``suggest_ann_params``); planes are
+    embedded for up to ``max_tables`` tables (covers past sf100) and
+    filtered to the derived count."""
+    from pywrangler_spark.operators.similarity import (
+        rademacher_hyperplanes,
+    )
+
+    rows = []
+    for t in range(max_tables):
+        planes = rademacher_hyperplanes(n_planes, dim, 42 + 1000 * t)
+        for p, w in enumerate(planes):
+            lit = "[" + ",".join("1.0" if c > 0 else "-1.0" for c in w) + "]"
+            rows.append(f"({t},{p},{lit})")
+    masks = ",".join(f"({m})" for m in [0] + [1 << i for i in range(n_planes)])
+    return f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok
+    FROM documents
+), t2 AS (SELECT * FROM toks WHERE tok <> ''),
+h AS (
+    SELECT doc_id, ('0x' || substr(md5(tok), 1, 14))::BIGINT AS h FROM t2
+), cell AS (
+    SELECT doc_id, h % {dim} AS idx,
+           CASE WHEN (h & (1::BIGINT << 55)) != 0
+                THEN 1.0 ELSE -1.0 END AS s
+    FROM h
+), agg AS (
+    SELECT doc_id, idx, CAST(SUM(s) AS DOUBLE) AS v
+    FROM cell GROUP BY 1, 2
+), vecm AS (
+    SELECT doc_id, map(list(idx), list(v)) AS m FROM agg GROUP BY doc_id
+), vec AS (
+    SELECT doc_id,
+           list_transform(range(0, {dim}), i -> coalesce(m[i][1], 0.0)) AS v
+    FROM vecm
+), e AS (
+    SELECT doc_id AS id, v, sqrt(list_dot_product(v, v)) AS n FROM vec
+), nt AS (
+    SELECT 4 + CAST(round(greatest(0.0, log10(count(*) / 2000.0)))
+                    AS INTEGER) AS n_tables
+    FROM e
+), planes(t, p, w) AS (VALUES {",".join(rows)}),
+bits AS (
+    SELECT e.id, pl.t, pl.p,
+           CASE WHEN list_dot_product(e.v, pl.w) > 0
+                THEN (1 << pl.p) ELSE 0 END AS bit
+    FROM e, planes pl, nt WHERE pl.t < nt.n_tables
+), buck AS (
+    SELECT id, t, CAST(SUM(bit) AS INTEGER) AS bucket FROM bits GROUP BY 1, 2
+), probes(mask) AS (VALUES {masks}),
+qprobe AS (
+    SELECT DISTINCT qb.id AS qid, qb.t, xor(qb.bucket, probes.mask) AS bucket
+    FROM buck qb, probes WHERE qb.id % 40 = 0 AND qb.id < 2000
+), cand AS (
+    SELECT DISTINCT qp.qid, b.id
+    FROM qprobe qp JOIN buck b ON b.t = qp.t AND b.bucket = qp.bucket
+    WHERE b.id != qp.qid
+), scored AS (
+    SELECT c.qid, c.id,
+           round(list_dot_product(q.v, b.v) / nullif(q.n * b.n, 0.0), 6)
+               AS cosine
+    FROM cand c JOIN e q ON q.id = c.qid JOIN e b ON b.id = c.id
+), ranked AS (
+    SELECT qid, id, cosine,
+           row_number() OVER (
+               PARTITION BY qid ORDER BY cosine DESC NULLS LAST, id ASC
+           ) AS rank
+    FROM scored
+)
+SELECT qid AS query_id, id AS neighbor_id, cosine,
+       CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+@register("docvec_ann_lsh_serve", oracle=_docvec_serve_oracle())
+def docvec_ann_lsh_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What a production semantic-search deployment actually pays per
+    batch: LSH bucket probing + candidate rerank ONLY — no exact-tier
+    GEMM. ``docvec_ann_lsh`` above keeps the exact tier as the recall
+    AUDIT twin (run per corpus rev, not per query batch); this is the
+    serve path, and its top-k output is hash-checked against a full
+    DuckDB re-derivation (±1 planes make every bucket bit exact integer
+    arithmetic — see :func:`_docvec_serve_oracle`). Same pattern as the
+    resample dense/runs twins: the expensive exact path is the audit,
+    the bounded path is what scales. Measured trade for the ±1 family:
+    recall@10 vs the exact tier 0.846 vs Gaussian's 0.885 at sf0.01 —
+    ~0.04 recall buys a hash-checkable serve path (the Gaussian gate
+    twin keeps the recall audit)."""
+    from pywrangler_spark.operators.docvec import hashed_doc_vectors
+    from pywrangler_spark.operators.similarity import (
+        suggest_ann_params,
+        topk_cosine_lsh,
+    )
+
+    # the serve tier reads the vector table a production system has
+    # already materialized; persist stands in for that table (count =
+    # materialization + the capacity-schedule input, as in the gate)
+    vecs = _docs(spark, sf_dir).transform(
+        hashed_doc_vectors("doc_id", "text", dim=64)
+    ).persist()
+    n_tables = suggest_ann_params(vecs.count())["n_tables"]
+    out = vecs.transform(
+        topk_cosine_lsh(
+            "id", "doc_vec", k=10, n_planes=8, n_tables=n_tables,
+            dim=64, plane_kind="rademacher",
+            query_filter=(F.col("id") % 40 == 0) & (F.col("id") < 2000),
+        )
+    )
+    return out.select("query_id", "neighbor_id", "cosine", "rank")
+
+
 # ---- PII redaction ---------------------------------------------------------
 # The oracle chain is BUILT from the operator's own pattern table
 # (operators.redact._PATTERNS), so engine parity is by construction:

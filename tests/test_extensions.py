@@ -310,6 +310,30 @@ class TestSimilarity:
         # by design; the contract is "substantially better than random"
         assert recall >= 0.3, f"LSH recall {recall}"
 
+    def test_lsh_rademacher_recall_vs_bruteforce(self, spark, embeddings):
+        # ±1 sign projections (the SQL-reproducible serve family)
+        # quantize slightly coarser than Gaussian planes on isotropic
+        # RANDOM data (measured 0.295 vs ~0.31 here); on structured
+        # docvecs both clear the 0.6 gate by a wide margin (0.846 vs
+        # 0.885 at sf0.01) — the floor here is "substantially better
+        # than random" on the hardest input
+        qf = F.col("vec_id") % 25 == 0
+        exact = topk_cosine("vec_id", "embedding", k=10, query_filter=qf)(
+            embeddings
+        )
+        approx = topk_cosine_lsh(
+            "vec_id", "embedding", k=10, n_planes=8, query_filter=qf,
+            probe_dim=True, plane_kind="rademacher",
+        )(embeddings)
+        e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+        a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+        recall = len(e & a) / len(e)
+        assert recall >= 0.25, f"rademacher LSH recall {recall}"
+
+    def test_lsh_bad_plane_kind_rejected(self):
+        with pytest.raises(ValueError, match="plane_kind"):
+            topk_cosine_lsh("id", "v", dim=8, plane_kind="hadamard")
+
     def test_ivf_recall_vs_bruteforce(self, spark, embeddings):
         qf = F.col("vec_id") % 25 == 0
         exact = topk_cosine("vec_id", "embedding", k=10, query_filter=qf)(
