@@ -91,6 +91,11 @@ def main() -> None:
     # measured corrupted data). --offset-mult remains as an explicit
     # override for sources that predate the marker.
     ap.add_argument("--offset-mult", type=int, default=0)
+    # probe-scoped subsets (e.g. --tables events for the sf200
+    # latest_event_per_user probe): replicate only the named tables.
+    # The dest is NOT a full sf directory — only single-table probes
+    # may read it.
+    ap.add_argument("--tables", default="")
     args = ap.parse_args()
     if args.mult < 1:
         raise SystemExit("--mult must be >= 1")
@@ -120,14 +125,21 @@ def main() -> None:
     )
     os.makedirs(args.dest, exist_ok=True)
 
-    for name in FIXED_TABLES:
+    only = set(t for t in args.tables.split(",") if t)
+    unknown = only - set(FIXED_TABLES) - set(SCALED_TABLES)
+    if unknown:
+        raise SystemExit(f"--tables has unknown tables: {sorted(unknown)}")
+    fixed = [t for t in FIXED_TABLES if not only or t in only]
+    scaled = [t for t in SCALED_TABLES if not only or t in only]
+
+    for name in fixed:
         df = read_parquet(spark, os.path.join(args.src, f"{name}.parquet"))
         df.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(args.dest, f"{name}.parquet")
         )
         print(f"{name}: copied")
 
-    for name in SCALED_TABLES:
+    for name in scaled:
         df = read_parquet(spark, os.path.join(args.src, f"{name}.parquet"))
         keyed = [c for c in df.columns if c in offsets]
         replicas = []
@@ -157,6 +169,9 @@ def main() -> None:
                 "src": os.path.abspath(args.src),
                 "mult": args.mult,
                 "offset_mult": offset_mult,
+                # partial dirs record their subset so nothing mistakes
+                # them for a full sf directory
+                "tables": sorted(only) if only else "all",
             },
             fh,
         )
