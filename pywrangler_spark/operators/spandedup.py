@@ -40,10 +40,19 @@ Plan shape at 100 TB:
      gram stream probes them map-side, so a boilerplate gram's rows
      never shuffle at all. The hot set is mass-bounded: at most
      (total gram occurrences) / ``hot_min_docs`` grams can clear the
-     bar, so its size shrinks as the threshold rises — pick
-     ``hot_min_docs`` so that bound fits the broadcast budget
-     (e.g. 1e13 pairs / 1e5 docs → ≤1e8 hot grams worst-case; the
-     observed count is far lower because gram mass is zipfian).
+     bar, so its size shrinks as the threshold rises. The DEFAULT
+     threshold is corpus-relative — ``max(min_docs, ceil(n_docs /
+     HOT_DOC_DIVISOR))``, derived declaratively as a broadcast scalar —
+     because no absolute value is right at every scale: the r11 sf100
+     probe found a x1000-replicated corpus whose entire dup mass sits
+     at ``_nd ~ 1000``, so a 100k absolute bar routed every occurrence
+     into the cold join, whose broadcast conversion is then an AQE
+     coin-flip that came up SMJ at sf100 (4.1 GB gram-stream shuffle;
+     17.7x decade on excise). With the relative bar the replicated
+     bulk broadcasts deterministically at every scale, and the bound
+     ``|hot| <= HOT_DOC_DIVISOR x avg grams/doc`` is corpus-size-free
+     (measured fix: 0.663x wall, shuffle 6.9 -> 4.4 GB at sf100,
+     identical output — span_coldjoin_probe_sf100_H.json).
    - **cold grams** join shuffled, with per-key doc-fanout bounded by
      ``hot_min_docs`` (intra-document repeats can still exceed the
      bound rowwise; they are bounded by document length).
@@ -64,7 +73,7 @@ Plan shape at 100 TB:
 
 from __future__ import annotations
 
-from typing import Callable
+from typing import Callable, Optional
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -144,13 +153,24 @@ def _distinct_doc_grams(
     )
 
 
+HOT_DOC_DIVISOR = 5000
+"""Denominator of the derived hot threshold ``n_docs / HOT_DOC_DIVISOR``.
+
+The mass bound that makes the derived default always broadcast-safe:
+at most ``total_gram_occurrences / threshold`` grams can clear a
+doc-frequency bar of ``threshold``, so with ``threshold = n_docs /
+HOT_DOC_DIVISOR`` the hot set is at most ``HOT_DOC_DIVISOR x (average
+grams per document)`` rows of 8-byte hashes — a corpus-size-INDEPENDENT
+constant (~250k rows / few MB for typical documents)."""
+
+
 def _hit_position_sets(
     df: DataFrame,
     id_column: str,
     text_column: str,
     n: int,
     min_docs: int,
-    hot_min_docs: int,
+    hot_min_docs: Optional[int],
 ) -> DataFrame:
     """``(_id, _hp)``: per-document sorted array of hit START positions
     — 0-based token indexes where some n-gram occurring in
@@ -179,8 +199,34 @@ def _hit_position_sets(
         .agg(F.count(F.lit(1)).alias("_nd"))
         .filter(F.col("_nd") >= min_docs)
     )
-    hot = dup.filter(F.col("_nd") >= hot_min_docs).select("_gh")
-    cold = dup.filter(F.col("_nd") < hot_min_docs).select("_gh")
+    if hot_min_docs is None:
+        # corpus-relative hot threshold, derived DECLARATIVELY (a
+        # broadcast scalar — no driver action): _nd >= max(min_docs,
+        # ceil(n_docs / HOT_DOC_DIVISOR)). An absolute default cannot
+        # be right at every scale: the r11 sf100 probe found NO gram
+        # clearing 100k docs on a x1000-replicated corpus (the dup
+        # mass sits at _nd ~ 1000), so every occurrence took the cold
+        # join — which AQE broadcast-converts at sf10 but not at sf100
+        # (the build side's measured stage is count PARTIALS, and by
+        # the time the true post-agg size is known the 4.1 GB gram
+        # exchange has already materialized). Measured fix (paired
+        # same-window, span_coldjoin_probe_sf100_H.json): 0.663x wall,
+        # total shuffle 6.9 -> 4.4 GB, identical output. Routing only:
+        # any threshold > min_docs gives identical results.
+        thr_df = df.agg(
+            F.greatest(
+                F.lit(min_docs).cast("long"),
+                F.ceil(
+                    F.count(F.lit(1)) / F.lit(HOT_DOC_DIVISOR)
+                ).cast("long"),
+            ).alias("_hot_thr")
+        )
+        dup = dup.crossJoin(F.broadcast(thr_df))
+        thr = F.col("_hot_thr")
+    else:
+        thr = F.lit(hot_min_docs)
+    hot = dup.filter(F.col("_nd") >= thr).select("_gh")
+    cold = dup.filter(F.col("_nd") < thr).select("_gh")
     # disjoint key sets → the union is exactly the single-join result
     hits = grams.join(F.broadcast(hot), "_gh").unionByName(
         grams.join(cold, "_gh")
@@ -215,7 +261,7 @@ def mask_duplicate_spans(
     text_column: str = "text",
     n: int = 5,
     min_docs: int = 2,
-    hot_min_docs: int = 100_000,
+    hot_min_docs: Optional[int] = None,
 ) -> Callable[[DataFrame], DataFrame]:
     """Append per-document duplicate-span statistics:
 
@@ -231,13 +277,16 @@ def mask_duplicate_spans(
     broadcast path (their occurrences never shuffle), the long tail
     takes the shuffled join with per-key doc-fanout bounded by the
     threshold. Any value ``> min_docs`` gives identical results — the
-    knob trades broadcast size against shuffle skew.
+    knob trades broadcast size against shuffle skew. The default
+    (``None``) derives ``max(min_docs, ceil(n_docs/5000))`` from the
+    corpus itself, keeping the broadcast mass-bounded while engaging
+    the hot path on wholesale-replicated corpora at every scale.
     """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
     if min_docs < 2:
         raise ValueError(f"min_docs must be >= 2, got {min_docs}")
-    if hot_min_docs < min_docs:
+    if hot_min_docs is not None and hot_min_docs < min_docs:
         raise ValueError(
             f"hot_min_docs must be >= min_docs, got {hot_min_docs}"
         )
@@ -271,7 +320,7 @@ def duplicate_span_stats(
     text_column: str = "text",
     n: int = 5,
     min_docs: int = 2,
-    hot_min_docs: int = 100_000,
+    hot_min_docs: Optional[int] = None,
 ) -> Callable[[DataFrame], DataFrame]:
     """Stats-only projection of :func:`mask_duplicate_spans` —
     ``(id, n_masked, dup_ratio)`` without the other input columns.
@@ -304,7 +353,7 @@ def duplicate_span_stats(
         raise ValueError(f"n must be >= 1, got {n}")
     if min_docs < 2:
         raise ValueError(f"min_docs must be >= 2, got {min_docs}")
-    if hot_min_docs < min_docs:
+    if hot_min_docs is not None and hot_min_docs < min_docs:
         raise ValueError(
             f"hot_min_docs must be >= min_docs, got {hot_min_docs}"
         )
@@ -340,7 +389,7 @@ def excise_duplicate_spans(
     text_column: str = "text",
     n: int = 5,
     min_docs: int = 2,
-    hot_min_docs: int = 100_000,
+    hot_min_docs: Optional[int] = None,
     output_column: str = "masked_text",
     preserve_whitespace: bool = False,
 ) -> Callable[[DataFrame], DataFrame]:
@@ -377,7 +426,7 @@ def excise_duplicate_spans(
         raise ValueError(f"n must be >= 1, got {n}")
     if min_docs < 2:
         raise ValueError(f"min_docs must be >= 2, got {min_docs}")
-    if hot_min_docs < min_docs:
+    if hot_min_docs is not None and hot_min_docs < min_docs:
         raise ValueError(
             f"hot_min_docs must be >= min_docs, got {hot_min_docs}"
         )

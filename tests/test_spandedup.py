@@ -154,6 +154,46 @@ class TestSkewedGramJoin:
         assert tree.count("BroadcastHashJoin") == 1
         assert "SortMergeJoin" in tree or "ShuffledHashJoin" in tree
 
+    def test_derived_threshold_matches_explicit(self, spark, skewed_docs):
+        # default None derives max(min_docs, ceil(n_docs/5000)) = 4 for
+        # 20k docs — identical VALUES to any explicit split point
+        derived = self._mask_sum(skewed_docs, hot_min_docs=None)
+        explicit = self._mask_sum(skewed_docs, hot_min_docs=10)
+        assert derived == explicit
+
+    def test_derived_threshold_routes_megagram_hot(self, spark,
+                                                   skewed_docs):
+        """With auto-broadcast disabled, the derived corpus-relative
+        threshold (20k/5000 = 4 docs) still routes the 6000-doc
+        mega-gram through the explicit broadcast probe — the routing
+        must not depend on an AQE size estimate."""
+        from pywrangler_spark.plans.inspect import explain_string
+
+        keys = (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+        old = {k: spark.conf.get(k, None) for k in keys}
+        for k in keys:
+            spark.conf.set(k, "-1")
+        try:
+            plan = explain_string(
+                skewed_docs.transform(
+                    mask_duplicate_spans(n=5, min_docs=2)
+                )
+            )
+        finally:
+            for k, v in old.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+        tree = plan.split("\n\n")[0]
+        # hot-gram probe + the threshold scalar join: both explicit
+        # broadcasts that survive threshold=-1
+        assert tree.count("BroadcastHashJoin") >= 1
+        assert "BroadcastNestedLoopJoin" in tree  # the 1-row scalar
+
 
 class TestExciseDuplicateSpans:
     def test_excises_shared_span_only(self, spark):
