@@ -41,18 +41,20 @@ Plan shape at 100 TB:
      never shuffle at all. The hot set is mass-bounded: at most
      (total gram occurrences) / ``hot_min_docs`` grams can clear the
      bar, so its size shrinks as the threshold rises. The DEFAULT
-     threshold is corpus-relative — ``max(min_docs, ceil(n_docs /
-     HOT_DOC_DIVISOR))``, derived declaratively as a broadcast scalar —
-     because no absolute value is right at every scale: the r11 sf100
-     probe found a x1000-replicated corpus whose entire dup mass sits
-     at ``_nd ~ 1000``, so a 100k absolute bar routed every occurrence
-     into the cold join, whose broadcast conversion is then an AQE
-     coin-flip that came up SMJ at sf100 (4.1 GB gram-stream shuffle;
-     17.7x decade on excise). With the relative bar the replicated
-     bulk broadcasts deterministically at every scale, and the bound
-     ``|hot| <= HOT_DOC_DIVISOR x avg grams/doc`` is corpus-size-free
-     (measured fix: 0.663x wall, shuffle 6.9 -> 4.4 GB at sf100,
-     identical output — span_coldjoin_probe_sf100_H.json).
+     routing is ADAPTIVE, decided in Python from the persisted dup
+     set (one bounded aggregate action): a set at or under
+     ``HOT_BUDGET_ROWS`` broadcasts WHOLE — one join, the gram stream
+     never shuffles AND never needs the second probe scan — and a
+     bigger set splits at ``ceil(sum(_nd)/budget)``, which bounds the
+     hot side by the budget exactly. No absolute threshold is right
+     at every scale (the r11 sf100 probe found a x1000-replicated
+     corpus whose entire dup mass sits at ``_nd ~ 1000`` — a 100k bar
+     routed everything cold and cost a 17.7x excise decade), and no
+     declarative derivation is reliable (AQE decides the cold join
+     from a count-PARTIALS stage after the gram exchange is sunk; a
+     broadcast-scalar threshold fixes sf100 at 0.663x but inflates
+     the cold branch's static estimate and regresses sf10 2x) — see
+     ``_hit_position_sets`` for the measured trail.
    - **cold grams** join shuffled, with per-key doc-fanout bounded by
      ``hot_min_docs`` (intra-document repeats can still exceed the
      bound rowwise; they are bounded by document length).
@@ -84,6 +86,17 @@ from pywrangler_spark.functions.text import (
     token_count,
     words,
 )
+from pywrangler_spark.util import tie_caches_to_result
+
+
+def _tie_span_caches(out: DataFrame, hp: DataFrame) -> DataFrame:
+    """Tie the adaptive dup-set cache (if any) to the result's
+    lifetime — the inline-transform convention
+    (:func:`pywrangler_spark.util.tie_caches_to_result`)."""
+    caches = getattr(hp, "_span_caches", None)
+    if caches:
+        tie_caches_to_result(out, caches)
+    return out
 
 
 def _positional_grams(
@@ -153,15 +166,16 @@ def _distinct_doc_grams(
     )
 
 
-HOT_DOC_DIVISOR = 5000
-"""Denominator of the derived hot threshold ``n_docs / HOT_DOC_DIVISOR``.
+HOT_BUDGET_ROWS = 2_000_000
+"""Broadcast budget (rows) for the adaptive dup-gram routing.
 
-The mass bound that makes the derived default always broadcast-safe:
-at most ``total_gram_occurrences / threshold`` grams can clear a
-doc-frequency bar of ``threshold``, so with ``threshold = n_docs /
-HOT_DOC_DIVISOR`` the hot set is at most ``HOT_DOC_DIVISOR x (average
-grams per document)`` rows of 8-byte hashes — a corpus-size-INDEPENDENT
-constant (~250k rows / few MB for typical documents)."""
+2M rows of 8-byte gram hashes ≈ 32 MB on the wire — comfortably inside
+any executor/driver budget this engine targets. Used two ways by the
+default (``hot_min_docs=None``) policy in :func:`_hit_position_sets`:
+a dup set at or under the budget broadcasts WHOLE (one join, no
+split); above it, the hot threshold ``ceil(sum(_nd) / budget)``
+guarantees ``|hot| <= budget`` exactly (at most ``sum/threshold`` rows
+can clear a doc-frequency bar of ``threshold``)."""
 
 
 def _hit_position_sets(
@@ -199,41 +213,62 @@ def _hit_position_sets(
         .agg(F.count(F.lit(1)).alias("_nd"))
         .filter(F.col("_nd") >= min_docs)
     )
-    if hot_min_docs is None:
-        # corpus-relative hot threshold, derived DECLARATIVELY (a
-        # broadcast scalar — no driver action): _nd >= max(min_docs,
-        # ceil(n_docs / HOT_DOC_DIVISOR)). An absolute default cannot
-        # be right at every scale: the r11 sf100 probe found NO gram
-        # clearing 100k docs on a x1000-replicated corpus (the dup
-        # mass sits at _nd ~ 1000), so every occurrence took the cold
-        # join — which AQE broadcast-converts at sf10 but not at sf100
-        # (the build side's measured stage is count PARTIALS, and by
-        # the time the true post-agg size is known the 4.1 GB gram
-        # exchange has already materialized). Measured fix (paired
-        # same-window, span_coldjoin_probe_sf100_H.json): 0.663x wall,
-        # total shuffle 6.9 -> 4.4 GB, identical output. Routing only:
-        # any threshold > min_docs gives identical results.
-        thr_df = df.agg(
-            F.greatest(
-                F.lit(min_docs).cast("long"),
-                F.ceil(
-                    F.count(F.lit(1)) / F.lit(HOT_DOC_DIVISOR)
-                ).cast("long"),
-            ).alias("_hot_thr")
+    if hot_min_docs is not None:
+        # explicit split point: fully declarative, no driver action —
+        # the caller has sized the broadcast themselves
+        hot = dup.filter(F.col("_nd") >= hot_min_docs).select("_gh")
+        cold = dup.filter(F.col("_nd") < hot_min_docs).select("_gh")
+        # disjoint key sets → the union is exactly the single-join
+        # result
+        hits = grams.join(F.broadcast(hot), "_gh").unionByName(
+            grams.join(cold, "_gh")
         )
-        dup = dup.crossJoin(F.broadcast(thr_df))
-        thr = F.col("_hot_thr")
+        return hits.groupBy("_id").agg(
+            F.sort_array(F.collect_set("_pos")).alias("_hp")
+        )
+    # DEFAULT (None): adaptive routing decided in Python from the
+    # MATERIALIZED dup set, because no declarative form is reliable
+    # here — measured r11, identical outputs throughout:
+    #  * an absolute threshold (the old 100k default) never fires on a
+    #    x1000-replicated corpus whose dup mass sits at _nd ~ 1000, so
+    #    everything reaches the cold join, and whether THAT join
+    #    broadcasts is an AQE race: the build side's last materialized
+    #    stage holds count PARTIALS (80.6 MB at sf100 for a ~4 MB
+    #    set), and the 4.1 GB gram-stream exchange is sunk before the
+    #    true size is known — 17.7x on the excise decade;
+    #  * a threshold derived as a broadcast-scalar crossJoin fixes
+    #    sf100 (0.663x paired, shuffle 6.9 -> 4.4 GB) but inflates the
+    #    STATIC size estimate of the cold branch, flipping sf10's
+    #    static broadcast to sort-merge: 11.6 -> 22.4 s, shuffle
+    #    74 -> 468 MB.
+    # The dup set is vocab-bounded (the whole point of the r10
+    # count-side fix), so persist it, measure it with one bounded
+    # aggregate action, and route deterministically: at or under
+    # HOT_BUDGET_ROWS the WHOLE set broadcasts (one join — the gram
+    # stream never shuffles and never needs the second probe scan);
+    # above it, split hot/cold at ceil(sum(_nd)/budget), which bounds
+    # |hot| <= budget exactly, as a plain literal the static planner
+    # sees. The persist also spares the distinct-gram scan from
+    # running twice (stats action + join); the cache is tied to the
+    # result's lifetime by the callers (tie_caches_to_result).
+    dup = dup.persist()
+    stats = dup.agg(
+        F.count(F.lit(1)).alias("c"), F.sum("_nd").alias("s")
+    ).first()
+    if stats.c <= HOT_BUDGET_ROWS:
+        hits = grams.join(F.broadcast(dup.select("_gh")), "_gh")
     else:
-        thr = F.lit(hot_min_docs)
-    hot = dup.filter(F.col("_nd") >= thr).select("_gh")
-    cold = dup.filter(F.col("_nd") < thr).select("_gh")
-    # disjoint key sets → the union is exactly the single-join result
-    hits = grams.join(F.broadcast(hot), "_gh").unionByName(
-        grams.join(cold, "_gh")
-    )
-    return hits.groupBy("_id").agg(
+        thr = max(min_docs, -(-int(stats.s or 0) // HOT_BUDGET_ROWS))
+        hot = dup.filter(F.col("_nd") >= thr).select("_gh")
+        cold = dup.filter(F.col("_nd") < thr).select("_gh")
+        hits = grams.join(F.broadcast(hot), "_gh").unionByName(
+            grams.join(cold, "_gh")
+        )
+    hp = hits.groupBy("_id").agg(
         F.sort_array(F.collect_set("_pos")).alias("_hp")
     )
+    hp._span_caches = [dup]
+    return hp
 
 
 def _union_length(hp, n: int):
@@ -278,9 +313,9 @@ def mask_duplicate_spans(
     takes the shuffled join with per-key doc-fanout bounded by the
     threshold. Any value ``> min_docs`` gives identical results — the
     knob trades broadcast size against shuffle skew. The default
-    (``None``) derives ``max(min_docs, ceil(n_docs/5000))`` from the
-    corpus itself, keeping the broadcast mass-bounded while engaging
-    the hot path on wholesale-replicated corpora at every scale.
+    (``None``) routes adaptively from the measured dup set — whole-set
+    broadcast when it fits ``HOT_BUDGET_ROWS``, else a split whose hot
+    side is mass-bounded by the budget (module docstring, bullet 2).
     """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
@@ -303,12 +338,15 @@ def mask_duplicate_spans(
         )
         n_masked = F.coalesce(F.col("n_masked"), F.lit(0)).cast("long")
         n_tok = token_count(F.col(text_column))
-        return out.select(
-            *df.columns,
-            n_masked.alias("n_masked"),
-            F.when(n_tok > 0, n_masked / n_tok)
-            .otherwise(F.lit(0.0))
-            .alias("dup_ratio"),
+        return _tie_span_caches(
+            out.select(
+                *df.columns,
+                n_masked.alias("n_masked"),
+                F.when(n_tok > 0, n_masked / n_tok)
+                .otherwise(F.lit(0.0))
+                .alias("dup_ratio"),
+            ),
+            hp,
         )
 
     _transform.__name__ = "mask_duplicate_spans"
@@ -372,12 +410,15 @@ def duplicate_span_stats(
         )
         out = toks.join(masked, id_column, "left")
         n_masked = F.coalesce(F.col("n_masked"), F.lit(0)).cast("long")
-        return out.select(
-            F.col(id_column),
-            n_masked.alias("n_masked"),
-            F.when(F.col("_n_tok") > 0, n_masked / F.col("_n_tok"))
-            .otherwise(F.lit(0.0))
-            .alias("dup_ratio"),
+        return _tie_span_caches(
+            out.select(
+                F.col(id_column),
+                n_masked.alias("n_masked"),
+                F.when(F.col("_n_tok") > 0, n_masked / F.col("_n_tok"))
+                .otherwise(F.lit(0.0))
+                .alias("dup_ratio"),
+            ),
+            hp,
         )
 
     _transform.__name__ = "duplicate_span_stats"
@@ -526,7 +567,9 @@ def excise_duplicate_spans(
                     ),
                 )
             )
-        return base.select(*df.columns, rebuilt.alias(output_column))
+        return _tie_span_caches(
+            base.select(*df.columns, rebuilt.alias(output_column)), hp
+        )
 
     _transform.__name__ = "excise_duplicate_spans"
     return _transform

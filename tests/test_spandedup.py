@@ -154,19 +154,19 @@ class TestSkewedGramJoin:
         assert tree.count("BroadcastHashJoin") == 1
         assert "SortMergeJoin" in tree or "ShuffledHashJoin" in tree
 
-    def test_derived_threshold_matches_explicit(self, spark, skewed_docs):
-        # default None derives max(min_docs, ceil(n_docs/5000)) = 4 for
-        # 20k docs — identical VALUES to any explicit split point
+    def test_adaptive_default_matches_explicit(self, spark, skewed_docs):
+        # default None routes adaptively (here: whole-dup-set
+        # broadcast) — identical VALUES to any explicit split point
         derived = self._mask_sum(skewed_docs, hot_min_docs=None)
         explicit = self._mask_sum(skewed_docs, hot_min_docs=10)
         assert derived == explicit
 
-    def test_derived_threshold_routes_megagram_hot(self, spark,
-                                                   skewed_docs):
-        """With auto-broadcast disabled, the derived corpus-relative
-        threshold (20k/5000 = 4 docs) still routes the 6000-doc
-        mega-gram through the explicit broadcast probe — the routing
-        must not depend on an AQE size estimate."""
+    def test_adaptive_default_broadcasts_dup_set(self, spark,
+                                                 skewed_docs):
+        """With auto-broadcast disabled, the adaptive default (dup set
+        of 1 gram, far under HOT_BUDGET_ROWS) still probes the dup set
+        via ONE explicit broadcast join and shuffles no gram stream —
+        the routing must not depend on an AQE size estimate."""
         from pywrangler_spark.plans.inspect import explain_string
 
         keys = (
@@ -189,10 +189,11 @@ class TestSkewedGramJoin:
                 else:
                     spark.conf.set(k, v)
         tree = plan.split("\n\n")[0]
-        # hot-gram probe + the threshold scalar join: both explicit
-        # broadcasts that survive threshold=-1
-        assert tree.count("BroadcastHashJoin") >= 1
-        assert "BroadcastNestedLoopJoin" in tree  # the 1-row scalar
+        # the single dup-set probe is the only broadcast join; the
+        # final doc-keyed stats join stays shuffled under threshold=-1
+        assert tree.count("BroadcastHashJoin") == 1
+        assert "BroadcastNestedLoopJoin" not in tree
+        assert "SortMergeJoin" in tree or "ShuffledHashJoin" in tree
 
 
 class TestExciseDuplicateSpans:
