@@ -67,6 +67,11 @@ if variant == "A":
         duplicate_span_stats("doc_id", "text", n=N, min_docs=MIN_DOCS,
                              hot_min_docs=HOT)
     )
+elif variant == "D":
+    # the shipped adaptive default (hot_min_docs=None)
+    out = docs.transform(
+        duplicate_span_stats("doc_id", "text", n=N, min_docs=MIN_DOCS)
+    )
 else:
     grams = _positional_grams(docs, "doc_id", "text", N)
     dup = (
