@@ -170,8 +170,8 @@ def main() -> None:
                 "mult": args.mult,
                 "offset_mult": offset_mult,
                 # partial dirs record their subset so nothing mistakes
-                # them for a full sf directory
-                "tables": sorted(only) if only else "all",
+                # them for a full sf directory (None = all tables)
+                "tables": sorted(only) if only else None,
             },
             fh,
         )

@@ -62,7 +62,6 @@ def main() -> int:
     # deterministic text per row value: templates repeat verbatim,
     # distinct docs vary every shingle via the value
     v = F.col("value")
-    word = lambda tag: F.concat(F.lit(tag), (v % mod).cast("string"))  # noqa: E731
     is_dup = (v % mod) < n_templates
     template = F.concat(
         F.lit("boilerplate header "),
