@@ -47,6 +47,9 @@ from pywrangler_spark.session import get_spark
 from pywrangler_spark.sources import read_parquet
 
 sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+from pywrangler_spark.sources.parquet import validate_sf_dir
+validate_sf_dir(sf_dir,
+                allow_partial=os.environ.get("SPARK_GRAFT_ALLOW_PARTIAL") == "1")
 cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 spark = get_spark("bench-ab", master=f"local[{cpus}]",
                   shuffle_partitions=int(cpus),
@@ -143,6 +146,9 @@ from pywrangler_spark.session import get_spark
 from pywrangler_spark.sources import read_parquet
 
 sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+from pywrangler_spark.sources.parquet import validate_sf_dir
+validate_sf_dir(sf_dir,
+                allow_partial=os.environ.get("SPARK_GRAFT_ALLOW_PARTIAL") == "1")
 cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 spark = get_spark("bench-isolated", master=f"local[{cpus}]",
                   shuffle_partitions=int(cpus),
@@ -349,6 +355,13 @@ _BENCH_SLOTS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from pywrangler_spark.sources.parquet import validate_sf_dir
+
+    # refuse probe-scoped partial scale dirs unless explicitly allowed
+    validate_sf_dir(
+        sf_dir,
+        allow_partial=os.environ.get("SPARK_GRAFT_ALLOW_PARTIAL") == "1",
+    )
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     want_metrics = os.environ.get("SPARK_GRAFT_BENCH_METRICS", "1") != "0"
 

@@ -316,6 +316,12 @@ def mask_duplicate_spans(
     (``None``) routes adaptively from the measured dup set — whole-set
     broadcast when it fits ``HOT_BUDGET_ROWS``, else a split whose hot
     side is mass-bounded by the budget (module docstring, bullet 2).
+
+    .. note:: the adaptive default is EAGER: applying the returned
+       transform runs a Spark job (persist + one bounded aggregate
+       action on the vocab-bounded dup set) to make the routing
+       decision. Callers composing fully-lazy pipelines should pass an
+       explicit ``hot_min_docs``, which keeps the plan declarative.
     """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
@@ -386,6 +392,11 @@ def duplicate_span_stats(
     per-doc statistics are consumed (gates, reports, mix planners);
     use ``mask_duplicate_spans`` when the stats must ride along with
     the documents.
+
+    .. note:: the default ``hot_min_docs=None`` routes the gram join
+       adaptively and is EAGER — applying the transform runs a Spark
+       job (persist + one bounded aggregate on the dup set). Pass an
+       explicit ``hot_min_docs`` for a fully-lazy plan.
     """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
@@ -462,6 +473,11 @@ def excise_duplicate_spans(
     worst (fully-boilerplate) case, which at n>=2 is bounded well
     below typical document-length budgets; documents are capped
     upstream by the chunker in any real pipeline.
+
+    .. note:: the default ``hot_min_docs=None`` routes the gram join
+       adaptively and is EAGER — applying the transform runs a Spark
+       job (persist + one bounded aggregate on the dup set). Pass an
+       explicit ``hot_min_docs`` for a fully-lazy plan.
     """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")

@@ -967,10 +967,21 @@ h AS (
     FROM vecm
 ), e AS (
     SELECT doc_id AS id, v, sqrt(list_dot_product(v, v)) AS n FROM vec
-), nt AS (
+), nt0 AS (
     SELECT 4 + CAST(round(greatest(0.0, log10(count(*) / 2000.0)))
                     AS INTEGER) AS n_tables
     FROM e
+), nt AS (
+    -- guard: the derived table count must not exceed the embedded
+    -- plane set, else `pl.t < n_tables` would silently compute the
+    -- expected output from fewer tables than Spark uses and the gate
+    -- would fail as a confusing hash mismatch instead of this error
+    SELECT CASE WHEN n_tables > {max_tables}
+                THEN CAST(error('derived n_tables ' || n_tables ||
+                                ' exceeds embedded max_tables={max_tables}'
+                                ) AS INTEGER)
+                ELSE n_tables END AS n_tables
+    FROM nt0
 ), planes(t, p, w) AS (VALUES {",".join(rows)}),
 bits AS (
     SELECT e.id, pl.t, pl.p,

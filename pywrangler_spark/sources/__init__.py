@@ -19,6 +19,7 @@ from pywrangler_spark.sources.parquet import (
     load_tables,
     read_parquet,
     register_views,
+    validate_sf_dir,
 )
 
 __all__ = [
@@ -29,6 +30,7 @@ __all__ = [
     "read_parquet",
     "load_tables",
     "register_views",
+    "validate_sf_dir",
     "read_binary_files",
     "read_text_shards",
     "read_csv",

@@ -102,12 +102,51 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return df.select(*exprs)
 
 
+def validate_sf_dir(
+    sf_dir: str,
+    names: Optional[Iterable[str]] = None,
+    allow_partial: bool = False,
+) -> None:
+    """Reject a probe-scoped PARTIAL scale directory used as a full one.
+
+    ``scripts/make_scale.py --tables ...`` replicates only the named
+    tables and stamps that subset in the dest's ``_scale_meta.json``
+    (``tables`` key; ``None`` means all). Without this check a partial
+    dir passed as a full sf directory fails only via missing-file
+    errors — or silently succeeds for queries touching only the
+    replicated tables, producing numbers that look like a full-corpus
+    run. Callers that WANT a subset pass the tables they need in
+    ``names`` (allowed when covered by the stamp) or
+    ``allow_partial=True``. Directories without a stamp (the driver's
+    own testdata) are always accepted.
+    """
+    meta_path = os.path.join(sf_dir, "_scale_meta.json")
+    if allow_partial or not os.path.exists(meta_path):
+        return
+    import json
+
+    with open(meta_path) as fh:
+        stamped = json.load(fh).get("tables")
+    if stamped is None:
+        return
+    needed = set(names) if names is not None else set(TABLE_NAMES)
+    missing = needed - set(stamped)
+    if missing:
+        raise ValueError(
+            f"{sf_dir} is a partial scale directory (only "
+            f"{sorted(stamped)} replicated) but {sorted(missing)} "
+            "is/are needed — regenerate without --tables, request only "
+            "the stamped tables, or pass allow_partial=True"
+        )
+
+
 def load_tables(
     spark: SparkSession,
     sf_dir: str,
     names: Optional[Iterable[str]] = None,
 ) -> Dict[str, DataFrame]:
     """Load the driver testdata tables from ``sf_dir`` (one parquet each)."""
+    validate_sf_dir(sf_dir, names)
     names = tuple(names) if names else TABLE_NAMES
     tables = {}
     for name in names:

@@ -66,6 +66,13 @@ def main() -> int:
 
     import __spark_entry__ as entry_mod
     from pywrangler_spark.session import get_spark
+    from pywrangler_spark.sources.parquet import validate_sf_dir
+
+    # refuse probe-scoped partial scale dirs unless explicitly allowed
+    validate_sf_dir(
+        args.sf,
+        allow_partial=os.environ.get("SPARK_GRAFT_ALLOW_PARTIAL") == "1",
+    )
 
     spark = get_spark("check-correctness", shuffle_partitions=8)
 

@@ -838,3 +838,28 @@ class TestRerankRefine:
         big = suggest_ann_params(2_000_000_000)
         assert big["rerank"] == 16
         assert big["n_centroids"] >= ten_x["n_centroids"]
+
+
+class TestServeOracleGuard:
+    """The serve oracle derives ``n_tables`` from the corpus count IN
+    SQL but embeds hyperplanes only for ``max_tables`` tables; past the
+    embedded count the old filter silently computed the expected output
+    from fewer tables than Spark uses — a confusing hash mismatch. The
+    guard turns that into a loud error."""
+
+    def test_errors_when_derived_tables_exceed_embedded(self):
+        import duckdb
+
+        from pywrangler_spark.queries.text import _docvec_serve_oracle
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+        )
+        # 500 docs derive n_tables=4; embedding only 3 must error
+        with pytest.raises(duckdb.Error, match="max_tables"):
+            con.execute(_docvec_serve_oracle(max_tables=3)).fetchall()
+        # the default embeds enough tables for corpora past sf100
+        rows = con.execute(_docvec_serve_oracle()).fetchall()
+        assert rows

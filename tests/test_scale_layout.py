@@ -326,3 +326,49 @@ class TestBucketedWriterSessionGotchas:
         finally:
             spark.sql("DROP TABLE IF EXISTS t_sf_a")
             spark.sql("DROP TABLE IF EXISTS t_sf_b")
+
+
+class TestValidateSfDir:
+    """A probe-scoped partial scale dir (make_scale.py --tables) stamps
+    its subset in _scale_meta.json; the loaders must refuse it as a
+    full sf directory instead of failing on missing files — or worse,
+    silently succeeding for queries touching only the replicated
+    tables."""
+
+    def _write_meta(self, tmp_path, tables):
+        import json
+
+        (tmp_path / "_scale_meta.json").write_text(
+            json.dumps({"total_mult": 10, "tables": tables})
+        )
+
+    def test_partial_dir_rejected(self, tmp_path):
+        from pywrangler_spark.sources import validate_sf_dir
+
+        self._write_meta(tmp_path, ["events"])
+        with pytest.raises(ValueError, match="partial scale directory"):
+            validate_sf_dir(str(tmp_path))
+
+    def test_partial_dir_allowed_explicitly(self, tmp_path):
+        from pywrangler_spark.sources import validate_sf_dir
+
+        self._write_meta(tmp_path, ["events"])
+        validate_sf_dir(str(tmp_path), allow_partial=True)
+        # an explicit request covered by the stamp is also fine
+        validate_sf_dir(str(tmp_path), names=["events"])
+        with pytest.raises(ValueError, match="lineitem"):
+            validate_sf_dir(str(tmp_path), names=["events", "lineitem"])
+
+    def test_full_dir_and_unstamped_dir_accepted(self, tmp_path):
+        from pywrangler_spark.sources import validate_sf_dir
+
+        validate_sf_dir(str(tmp_path))  # no stamp: driver testdata
+        self._write_meta(tmp_path, None)  # full replication stamp
+        validate_sf_dir(str(tmp_path))
+
+    def test_load_tables_refuses_partial(self, spark, tmp_path):
+        from pywrangler_spark.sources import load_tables
+
+        self._write_meta(tmp_path, ["events"])
+        with pytest.raises(ValueError, match="partial scale directory"):
+            load_tables(spark, str(tmp_path))

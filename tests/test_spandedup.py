@@ -196,6 +196,126 @@ class TestSkewedGramJoin:
         assert "SortMergeJoin" in tree or "ShuffledHashJoin" in tree
 
 
+class TestAdaptiveSplitBranch:
+    """The adaptive default's ABOVE-budget branch: when the measured
+    dup set exceeds ``HOT_BUDGET_ROWS``, the routing splits at
+    ``ceil(sum(_nd)/budget)`` — hot grams broadcast (row count bounded
+    by the budget exactly), the cold tail keeps the shuffled join.
+    The r11 verdict flagged this branch as the one shipped code path
+    with zero test and zero measured coverage (every prior test and
+    probe took the whole-set-broadcast branch because real dup sets
+    are far under 2M rows); these tests drive it by monkeypatching
+    the budget down onto a fixture with three dup grams of skewed
+    doc-frequency (3000 / 3 / 2)."""
+
+    @pytest.fixture(scope="class")
+    def tri_dup_docs(self, spark):
+        from pyspark.sql import functions as F
+
+        # 3000 docs: ids % 3 == 0 carry the mega boilerplate (one
+        # 5-gram in 1000 distinct docs); ids {1,4} share a rare gram
+        # (_nd=2); ids {2,5,8} share another (_nd=3); the rest are
+        # unique 6-word texts. Dup set = 3 grams, sum(_nd) = 1005.
+        mega = "copyright acme corporation all rights"
+        rare2 = "please subscribe to our newsletter"
+        rare3 = "terms of service apply here"
+        return spark.range(3_000).select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") % 3 == 0, F.lit(mega))
+            .when(F.col("id").isin(1, 4), F.lit(rare2))
+            .when(F.col("id").isin(2, 5, 8), F.lit(rare3))
+            .otherwise(
+                F.concat_ws(
+                    " ",
+                    *[
+                        F.concat(F.lit(f"u{s}"), F.col("id").cast("string"))
+                        for s in "abcdef"
+                    ],
+                )
+            )
+            .alias("text"),
+        )
+
+    def _mask_sum(self, df, **kwargs):
+        from pyspark.sql import functions as F
+
+        return (
+            df.transform(mask_duplicate_spans(n=5, min_docs=2, **kwargs))
+            .agg(
+                F.sum("n_masked").alias("s"),
+                F.count(F.lit(1)).alias("c"),
+            )
+            .first()
+        )
+
+    def test_split_branch_matches_whole_set_and_explicit(
+        self, spark, tri_dup_docs, monkeypatch
+    ):
+        """budget=2 < |dup set|=3 forces the split; the derived
+        threshold is ceil(1005/2)=503, so hot={mega gram} (1 row <=
+        budget) and cold={both rare grams} — values must equal both
+        the whole-set-broadcast run and an explicit run at the same
+        split point."""
+        from pywrangler_spark.operators import spandedup
+
+        whole = self._mask_sum(tri_dup_docs)  # unpatched: c=3 <= 2M
+        explicit = self._mask_sum(tri_dup_docs, hot_min_docs=503)
+        monkeypatch.setattr(spandedup, "HOT_BUDGET_ROWS", 2)
+        split = self._mask_sum(tri_dup_docs)
+        assert split == whole == explicit
+        # (1000 + 3 + 2) dup docs x 5 masked tokens each
+        assert split["s"] == 5_025 and split["c"] == 3_000
+
+    def test_split_branch_plan_shape(self, spark, tri_dup_docs,
+                                     monkeypatch):
+        """With auto-broadcast disabled and budget=2, the split plan
+        carries exactly ONE BroadcastHashJoin (the hot probe — the
+        mega-gram's rows never enter a shuffle), a Union of the two
+        gram joins (absent from the whole-set branch), and a shuffled
+        join for the cold tail."""
+        from pywrangler_spark.operators import spandedup
+        from pywrangler_spark.plans.inspect import explain_string
+
+        monkeypatch.setattr(spandedup, "HOT_BUDGET_ROWS", 2)
+        keys = (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+        old = {k: spark.conf.get(k, None) for k in keys}
+        for k in keys:
+            spark.conf.set(k, "-1")
+        try:
+            plan = explain_string(
+                tri_dup_docs.transform(
+                    mask_duplicate_spans(n=5, min_docs=2)
+                )
+            )
+        finally:
+            for k, v in old.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+        tree = plan.split("\n\n")[0]
+        assert tree.count("BroadcastHashJoin") == 1
+        assert "Union" in tree
+        assert "SortMergeJoin" in tree or "ShuffledHashJoin" in tree
+        assert "BroadcastNestedLoopJoin" not in tree
+
+    def test_degenerate_budget_routes_all_cold(self, spark,
+                                               tri_dup_docs,
+                                               monkeypatch):
+        """budget=1 derives thr=1005 > every gram's _nd: the hot side
+        is EMPTY (still <= budget, as the bound guarantees) and every
+        gram takes the cold join — values unchanged."""
+        from pywrangler_spark.operators import spandedup
+
+        whole = self._mask_sum(tri_dup_docs)
+        monkeypatch.setattr(spandedup, "HOT_BUDGET_ROWS", 1)
+        all_cold = self._mask_sum(tri_dup_docs)
+        assert all_cold == whole
+
+
 class TestExciseDuplicateSpans:
     def test_excises_shared_span_only(self, spark):
         from pywrangler_spark.operators.spandedup import (
