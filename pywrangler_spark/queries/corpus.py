@@ -300,15 +300,21 @@ def dedup_span_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     # column-appending mask_duplicate_spans stays the operator for
     # pipelines that carry the stats alongside the documents)
     from pywrangler_spark.operators.spandedup import duplicate_span_stats
+    from pywrangler_spark.util import keep_alive
 
-    return (
-        _docs(spark, sf_dir)
-        .transform(duplicate_span_stats("doc_id", "text", n=5, min_docs=2))
-        .select(
+    stats = _docs(spark, sf_dir).transform(
+        duplicate_span_stats("doc_id", "text", n=5, min_docs=2)
+    )
+    # keep_alive: the dup-set cache is tied to ``stats``; without it the
+    # derived select drops the cache pre-execution and the dup set's
+    # distinct-gram scan runs twice (r12 find, see util.keep_alive)
+    return keep_alive(
+        stats.select(
             "doc_id",
             "n_masked",
             F.round("dup_ratio", 6).alias("dup_ratio"),
-        )
+        ),
+        stats,
     )
 
 
@@ -354,12 +360,13 @@ FROM norm n LEFT JOIN mt m USING (doc_id)
 @register("dedup_span_excise", oracle=_SPAN_EXCISE_ORACLE)
 def dedup_span_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pywrangler_spark.operators.spandedup import excise_duplicate_spans
+    from pywrangler_spark.util import keep_alive
 
-    return (
-        _docs(spark, sf_dir)
-        .transform(excise_duplicate_spans("doc_id", "text", n=5, min_docs=2))
-        .select("doc_id", "masked_text")
+    excised = _docs(spark, sf_dir).transform(
+        excise_duplicate_spans("doc_id", "text", n=5, min_docs=2)
     )
+    # keep_alive: same dup-set-cache transfer as dedup_span_mask
+    return keep_alive(excised.select("doc_id", "masked_text"), excised)
 
 
 @register("lm_score_docs", oracle=_LM_ORACLE)

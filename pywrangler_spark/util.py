@@ -227,3 +227,26 @@ def tie_caches_to_result(result, caches: list, shared: list = None) -> None:
 
     fin = weakref.finalize(result, _drain)
     fin.atexit = False
+
+
+def keep_alive(derived, *sources):
+    """Pin ``sources`` to ``derived``'s lifetime and return ``derived``.
+
+    :func:`tie_caches_to_result` drains an operator's caches when the
+    transform RESULT is garbage-collected — safe (degrade to recompute)
+    but a silent performance trap when a caller immediately derives a
+    new DataFrame (``result.select(...)``) and drops ``result``: the
+    caches die before the derived plan ever executes, and every cached
+    lineage recomputes. Found in r12 via ``explain()`` on the
+    registered span queries — no ``InMemoryTableScan`` in the executed
+    plan; every measured span number to that point had paid one extra
+    distinct-gram corpus scan. Attaching the source to the derived
+    object defers the finalizer to the lifetime that actually consumes
+    the caches::
+
+        pairs = df.transform(ContainmentPairs(...))   # caches tied
+        return keep_alive(pairs.select(...), pairs)   # tie transfers
+    """
+    existing = getattr(derived, "_pw_keepalive", ())
+    derived._pw_keepalive = tuple(existing) + sources
+    return derived

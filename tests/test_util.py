@@ -126,6 +126,52 @@ class TestTieCachesToResult:
         gc.collect()
         assert n_cached() < before
 
+    def test_keep_alive_defers_drain_to_derived_result(self, spark):
+        """The r12 derived-result trap: result.select(...) + drop of the
+        transform result must NOT drain the caches when keep_alive
+        transferred the tie; the drain fires when the DERIVED result
+        dies."""
+        import gc
+
+        from pywrangler_spark.util import keep_alive, tie_caches_to_result
+
+        cached = spark.range(10).persist()
+        cached.count()
+        result = cached.selectExpr("id * 2 AS x")
+        tie_caches_to_result(result, [cached])
+        derived = keep_alive(result.selectExpr("x + 1 AS y"), result)
+        del result
+        gc.collect()
+        assert cached.storageLevel.useMemory  # derived still carries it
+        assert derived.count() == 10
+        del derived
+        gc.collect()
+        assert not cached.storageLevel.useMemory
+
+    def test_keep_alive_stacks_sources(self, spark):
+        import gc
+
+        from pywrangler_spark.util import keep_alive, tie_caches_to_result
+
+        c1 = spark.range(5).persist()
+        c1.count()
+        r1 = c1.selectExpr("id AS x")
+        tie_caches_to_result(r1, [c1])
+        c2 = spark.range(7).persist()
+        c2.count()
+        r2 = c2.selectExpr("id AS y")
+        tie_caches_to_result(r2, [c2])
+        derived = keep_alive(r1.crossJoin(r2), r1)
+        derived = keep_alive(derived, r2)  # second call must stack
+        del r1, r2
+        gc.collect()
+        assert c1.storageLevel.useMemory
+        assert c2.storageLevel.useMemory
+        del derived
+        gc.collect()
+        assert not c1.storageLevel.useMemory
+        assert not c2.storageLevel.useMemory
+
 
 class TestWideExchangeWidth:
     def test_declared_initial_width_wins_under_cap(self, spark):
