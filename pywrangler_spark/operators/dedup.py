@@ -431,6 +431,134 @@ def ngram_jaccard_pairs(
     return _transform
 
 
+class ContainmentPairs:
+    """Asymmetric near-duplicate (containment) pairs via the overlap
+    coefficient |S(A) ∩ S(B)| / min(|S(A)|, |S(B)|) over distinct word
+    shingles — the primitive resemblance-based MinHash misses by design:
+    a short document fully embedded in a long one has containment 1.0
+    but Jaccard ≈ |A|/|B| → 0, so it never crosses a Jaccard threshold.
+
+    Scale design: the shingle self-join's cost is Σ bucket² over shingle
+    buckets, and in zipfian corpora the head shingles (boilerplate) make
+    that quadratic in corpus size. ``max_df`` drops every shingle whose
+    document frequency exceeds it BEFORE the self-join, which bounds each
+    bucket at ``max_df`` rows (≤ max_df² pair rows per bucket) — the
+    standard AllPairs frequency-cap. The coefficient is then computed
+    over the *capped* shingle universe (both numerator and the per-doc
+    denominators count kept shingles only), a deterministic definition
+    the DuckDB oracle replicates exactly. Exact-duplicate groups — whose
+    shared shingles the cap removes wholesale when the group is larger
+    than ``max_df`` — are the exact-dedup family's job, not this
+    operator's. ``max_df=None`` computes the uncapped exact coefficient
+    (verification-path cost, like :func:`ngram_jaccard_pairs`).
+
+    The hashed shingle stream is consumed up to four times (df-cap
+    aggregate, per-doc counts, both self-join sides) and tokenize+shingle
+    dominates the family's task-time (measured: ~89% for the span
+    family, ``span_pos_sf10.json``), so each ``__call__`` persists it;
+    cache lifecycle is identical to :class:`MinHashLSHPairs` —
+    :meth:`release` or result-GC unpersists.
+
+    Output: (id_a, id_b, containment), id_a < id_b.
+    """
+
+    def __init__(
+        self,
+        id_column: str,
+        text_column: str,
+        shingle_k: int = 3,
+        threshold: float = 0.9,
+        max_df: Optional[int] = None,
+    ) -> None:
+        if max_df is not None and max_df < 2:
+            raise ValueError(
+                "max_df < 2 drops every shared shingle — no pair can form"
+            )
+        self.id_column = id_column
+        self.text_column = text_column
+        self.shingle_k = shingle_k
+        self.threshold = threshold
+        self.max_df = max_df
+        self._persisted: List[DataFrame] = []
+
+    def release(self) -> None:
+        """Unpersist every shingle cache created by this instance."""
+        while self._persisted:
+            self._persisted.pop().unpersist(blocking=True)
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        sh = (
+            _scale_out(df)
+            .select(
+                F.col(self.id_column).alias("_id"),
+                F.explode(
+                    word_shingles(F.col(self.text_column), self.shingle_k)
+                ).alias("_s"),
+            )
+            .select("_id", hash56(F.col("_s")).alias("_h"))
+            .persist()
+        )
+        self._persisted.append(sh)
+        if self.max_df is not None:
+            # word_shingles is distinct per document, so count(*) per
+            # hash IS the document frequency. The cap filter, the self-
+            # join, and this aggregate all key on _h — one exchange
+            # layout, reused.
+            kept = (
+                sh.groupBy("_h")
+                .agg(F.count(F.lit(1)).alias("_df"))
+                .filter(F.col("_df") <= self.max_df)
+                .select("_h")
+            )
+            sh = sh.join(kept, "_h").persist()
+            self._persisted.append(sh)
+        counts = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+        inter = (
+            sh.alias("a")
+            .join(sh.alias("b"), "_h")
+            .filter(F.col("a._id") < F.col("b._id"))
+            .groupBy(
+                F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
+            )
+            .agg(F.count(F.lit(1)).alias("_k"))
+        )
+        ca = counts.select(
+            F.col("_id").alias("id_a"), F.col("_n").alias("_na")
+        )
+        cb = counts.select(
+            F.col("_id").alias("id_b"), F.col("_n").alias("_nb")
+        )
+        # pairs only arise from a shared kept shingle, so both sides have
+        # ≥ 1 kept shingle — least() is never zero
+        cont = (
+            F.col("_k") / F.least(F.col("_na"), F.col("_nb"))
+        ).alias("containment")
+        out = (
+            inter.join(ca, "id_a")
+            .join(cb, "id_b")
+            .select("id_a", "id_b", cont)
+            .filter(F.col("containment") >= self.threshold)
+        )
+        tie_caches_to_result(out, self._persisted)
+        return out
+
+
+def containment_pairs(
+    id_column: str,
+    text_column: str,
+    shingle_k: int = 3,
+    threshold: float = 0.9,
+    max_df: Optional[int] = None,
+) -> ContainmentPairs:
+    """Functional form of :class:`ContainmentPairs` (drop-in for
+    ``df.transform(containment_pairs(...))``). Keep the returned object
+    if you need :meth:`ContainmentPairs.release` to free the shingle
+    cache after consuming the result."""
+    return ContainmentPairs(
+        id_column, text_column, shingle_k, threshold, max_df
+    )
+
+
 def simhash_table(
     id_column: str, text_column: str, bits: int = 63
 ) -> Callable[[DataFrame], DataFrame]:

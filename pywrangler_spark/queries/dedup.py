@@ -19,6 +19,7 @@ from pywrangler_spark.operators.dedup import (
     duplicate_groups,
     minhash_lsh_pairs,
     minhash_params,
+    containment_pairs,
     ngram_jaccard_pairs,
     simhash_table,
 )
@@ -112,6 +113,59 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         ngram_jaccard_pairs("doc_id", "text", shingle_k=3, threshold=0.5)
     )
     return pairs.withColumn("jaccard", F.round("jaccard", 6))
+
+
+# ---- containment (overlap coefficient, df-capped) --------------------------
+
+# the frequency cap that bounds each shingle bucket before the self-join;
+# the oracle replicates the identical capped definition
+_CONTAIN_MAX_DF = 20
+_CONTAIN_THRESHOLD = 0.9
+
+_CONTAINMENT_ORACLE = (
+    _SHINGLES_SQL_ALL
+    + f"""
+, shh AS (
+    SELECT doc_id, ('0x' || substr(md5(s), 1, 14))::BIGINT AS h FROM sh
+), kept AS (
+    SELECT h FROM shh GROUP BY h HAVING count(*) <= {_CONTAIN_MAX_DF}
+), shk AS (
+    SELECT shh.doc_id, shh.h FROM shh JOIN kept USING (h)
+), cnt AS (SELECT doc_id, count(*) AS n FROM shk GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS k
+    FROM shk a JOIN shk b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT id_a, id_b, round(k * 1.0 / least(ca.n, cb.n), 6) AS containment
+FROM inter
+JOIN cnt ca ON ca.doc_id = id_a
+JOIN cnt cb ON cb.doc_id = id_b
+WHERE k * 1.0 / least(ca.n, cb.n) >= {_CONTAIN_THRESHOLD}
+"""
+)
+
+
+@register("dedup_containment", oracle=_CONTAINMENT_ORACLE)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric (small-doc-in-big-doc) near-dups the Jaccard family
+    misses: overlap-coefficient pairs over df-capped shingles — the cap
+    bounds the self-join's per-bucket fan-out at any corpus size, so this
+    runs over the FULL corpus (the exact Jaccard verifier is scoped to
+    2000 docs)."""
+    from pywrangler_spark.util import keep_alive
+
+    pairs = _docs(spark, sf_dir).transform(
+        containment_pairs(
+            "doc_id", "text", shingle_k=3,
+            threshold=_CONTAIN_THRESHOLD, max_df=_CONTAIN_MAX_DF,
+        )
+    )
+    # keep_alive: the shingle cache is tied to ``pairs``; the derived
+    # rounding projection must carry it (util.keep_alive)
+    return keep_alive(
+        pairs.withColumn("containment", F.round("containment", 6)), pairs
+    )
 
 
 # ---- MinHash + LSH ---------------------------------------------------------
