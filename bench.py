@@ -150,8 +150,11 @@ from pywrangler_spark.sources.parquet import validate_sf_dir
 validate_sf_dir(sf_dir,
                 allow_partial=os.environ.get("SPARK_GRAFT_ALLOW_PARTIAL") == "1")
 cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+# decoupled from cpus for partition-sizing probes: at big SFs the
+# per-task row volume, not the core count, sets the agg memory budget
+shuffle_parts = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus))
 spark = get_spark("bench-isolated", master=f"local[{cpus}]",
-                  shuffle_partitions=int(cpus),
+                  shuffle_partitions=shuffle_parts,
                   extra_conf={"spark.driver.memory": "48g",
                               "spark.ui.enabled": "true",
                               "spark.ui.retainedStages": "20000"})
