@@ -121,8 +121,24 @@ def word_shingles(col: Column, k: int = 3) -> Column:
     DuckDB equivalent:
     ``list_distinct(list_transform(range(1, len(w)-k+2),
     i -> w[i] || ' ' || ... || w[i+k-1]))``.
+
+    The token array is BOUND as a lambda variable (the
+    ``transform(array(w), ws -> ...)`` binding, as in
+    :func:`repetition_struct`) before the shingle lambda indexes it:
+    ``shingles_from_words`` references its input k+1 times per element,
+    and an INLINED tokenization expression is re-evaluated on every
+    reference — the whole normalize+split regex pass per shingle slot
+    (measured 3.5 s vs 0.63 s for the sf0.1 shingle stream,
+    value-identical). Staged plans that materialize the token array in
+    a projection (`decontaminate`, `spandedup`) are marginally faster
+    still; this binding makes the one-shot form safe by construction.
     """
-    return shingles_from_words(words(col), k)
+    return F.get(
+        F.transform(
+            F.array(words(col)), lambda ws: shingles_from_words(ws, k)
+        ),
+        0,
+    )
 
 
 def lang_scores(col: Column) -> Dict[str, Column]:

@@ -38,7 +38,6 @@ from pywrangler_spark.util import tie_caches_to_result
 from pywrangler_spark.functions.text import (
     fingerprint,
     shingles_from_words,
-    word_shingles,
     words,
 )
 
@@ -395,12 +394,24 @@ def ngram_jaccard_pairs(
     """
 
     def _transform(df: DataFrame) -> DataFrame:
-        sh = _scale_out(df).select(
-            F.col(id_column).alias("_id"),
-            F.explode(word_shingles(F.col(text_column), shingle_k)).alias(
-                "_s"
-            ),
-        ).select("_id", hash56(F.col("_s")).alias("_h"))
+        # tokenize in its own projection so the shingle lambda indexes a
+        # materialized array, not an inlined regex pass re-evaluated per
+        # element (shingles_from_words docstring; measured 8x on the
+        # sf0.1 shingle stream)
+        sh = (
+            _scale_out(df)
+            .select(
+                F.col(id_column).alias("_id"),
+                words(F.col(text_column)).alias("_w"),
+            )
+            .select(
+                "_id",
+                F.explode(shingles_from_words(F.col("_w"), shingle_k)).alias(
+                    "_s"
+                ),
+            )
+            .select("_id", hash56(F.col("_s")).alias("_h"))
+        )
         counts = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
         inter = (
             sh.alias("a")
@@ -487,12 +498,20 @@ class ContainmentPairs:
             self._persisted.pop().unpersist(blocking=True)
 
     def __call__(self, df: DataFrame) -> DataFrame:
+        # staged tokenization (shingles_from_words docstring): the token
+        # array materializes in its own projection before the shingle
+        # lambda indexes it — the inlined form re-ran the normalize+split
+        # regex per shingle slot, measured 8x slower on this stream
         sh = (
             _scale_out(df)
             .select(
                 F.col(self.id_column).alias("_id"),
+                words(F.col(self.text_column)).alias("_w"),
+            )
+            .select(
+                "_id",
                 F.explode(
-                    word_shingles(F.col(self.text_column), self.shingle_k)
+                    shingles_from_words(F.col("_w"), self.shingle_k)
                 ).alias("_s"),
             )
             .select("_id", hash56(F.col("_s")).alias("_h"))
@@ -500,7 +519,7 @@ class ContainmentPairs:
         )
         self._persisted.append(sh)
         if self.max_df is not None:
-            # word_shingles is distinct per document, so count(*) per
+            # the shingle set is distinct per document, so count(*) per
             # hash IS the document frequency. The cap filter, the self-
             # join, and this aggregate all key on _h — one exchange
             # layout, reused.

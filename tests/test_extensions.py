@@ -409,6 +409,45 @@ class TestShortDocuments:
 
 
 class TestText:
+    def test_word_shingles_binding_matches_staged_form(self, spark):
+        # word_shingles binds the token array as a lambda variable (r12:
+        # the inlined tokenization re-ran per shingle slot); values must
+        # equal the explicitly staged tokenize->shingle pipeline on
+        # normal, short (<k words), empty, and null text
+        from pywrangler_spark.functions.text import (
+            shingles_from_words,
+            word_shingles,
+            words,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog"),
+                (2, "too short"),
+                (3, ""),
+                (4, None),
+                (5, "a b c a b c a b c"),
+            ],
+            "doc_id long, text string",
+        )
+        bound = {
+            r.doc_id: r.s
+            for r in df.select(
+                "doc_id", word_shingles(F.col("text"), 3).alias("s")
+            ).collect()
+        }
+        staged = {
+            r.doc_id: r.s
+            for r in df.select("doc_id", words(F.col("text")).alias("_w"))
+            .select(
+                "doc_id",
+                shingles_from_words(F.col("_w"), 3).alias("s"),
+            )
+            .collect()
+        }
+        assert bound == staged
+        assert bound[2] == [] and bound[3] == []
+
     def test_token_count_matches_python(self, spark):
         df = spark.createDataFrame(
             [("hello  world ",), ("",), ("one",)], "t string"
