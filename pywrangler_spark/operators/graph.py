@@ -64,31 +64,49 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # round 1 folded into the init: label(v) = min(v, neighbors) comes
+    # straight off the adjacency aggregation, replacing the previous
+    # init (distinct vertex scan + checkpoint + a round-1 join against
+    # identity labels). Any graph with an edge (a < b) changes b's
+    # label here, so convergence never had to be checked on round 1.
     labels = (
-        adj.select(F.col("_v"))
-        .distinct()
-        .select("_v", F.col("_v").alias("_lab"))
+        adj.groupBy("_v")
+        .agg(F.min("_n").alias("_mn"))
+        .select("_v", F.least(F.col("_v"), F.col("_mn")).alias("_lab"))
         .localCheckpoint(eager=True)
     )
 
-    for i in range(max_iterations):
-        # message = neighbor labels; vertex keeps min(own, neighbors)
+    for i in range(1, max_iterations):
+        # message = neighbor labels; vertex keeps min(own, neighbors).
+        # The previous label rides the aggregation as `_old` (each
+        # vertex contributes exactly one self row, so max() recovers
+        # it), making the convergence check a plain filter scan over
+        # the checkpointed result — the earlier form re-joined the new
+        # labels against the old ones, a second shuffle per round.
         msgs = adj.join(
             labels.withColumnRenamed("_v", "_n"), on="_n"
-        ).select("_v", "_lab")
-        new_labels = (
-            msgs.union(labels)
+        ).select(
+            "_v",
+            "_lab",
+            F.lit(None)
+            .cast(labels.schema["_lab"].dataType)
+            .alias("_old"),
+        )
+        agg = (
+            msgs.union(
+                labels.select("_v", "_lab", F.col("_lab").alias("_old"))
+            )
             .groupBy("_v")
-            .agg(F.min("_lab").alias("_lab"))
+            .agg(
+                F.min("_lab").alias("_lab"),
+                F.max("_old").alias("_old"),
+            )
             .localCheckpoint(eager=True)
         )
         changed = (
-            new_labels.join(labels.withColumnRenamed("_lab", "_old"), "_v")
-            .filter(F.col("_lab") != F.col("_old"))
-            .limit(1)
-            .count()
+            agg.filter(F.col("_lab") != F.col("_old")).limit(1).count()
         )
-        labels = new_labels
+        labels = agg.select("_v", "_lab")
         if changed == 0:
             if stats is not None:
                 stats["iterations"] = i + 1

@@ -71,6 +71,24 @@ class TestConnectedComponents:
         with pytest.raises(RuntimeError, match="converge"):
             connected_components(edges, max_iterations=1)
 
+    def test_long_chain_multi_round_and_iteration_telemetry(self, spark):
+        # hash-min propagates the min label one hop per round: a chain
+        # of 8 edges forces the r12 folded-init loop through several
+        # label-carrying rounds (the convergence check now rides the
+        # label aggregation itself instead of a second join per round)
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(8)], ["src", "dst"]
+        )
+        stats: dict = {}
+        got = {
+            r.id: r.component
+            for r in connected_components(edges, stats=stats).collect()
+        }
+        assert got == {i: 0 for i in range(9)}
+        # 8-hop chain: min reaches the far end after 8 rounds; one more
+        # round observes no change. The folded init counts as round 1.
+        assert 3 <= stats["iterations"] <= 9
+
 
 class TestDedupResolve:
     def test_keeps_one_per_cluster_and_passthrough(self, spark):
