@@ -59,8 +59,12 @@ try:
     read_parquet(spark, os.path.join(sf_dir, "lineitem.parquet")).count()
 except Exception:
     pass
+# targeted-change probes A/B a subset instead of burning a full-suite
+# pass per arm; unset (the default, and what the driver runs) = all
+subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+names = sorted(subset.split(",")) if subset else sorted(QUERIES)
 timings = {}
-for name in sorted(QUERIES):
+for name in names:
     t0 = time.perf_counter()
     try:
         QUERIES[name](spark, sf_dir).write.format("noop").mode(
@@ -127,7 +131,8 @@ def ab_main(ref: str) -> None:
         "median_ratio": svals[len(svals) // 2] if svals else None,
         "ratios": ratios,
     }
-    with open(os.path.join(REPO, "bench_ab.json"), "w") as fh:
+    out_name = os.environ.get("SPARK_GRAFT_BENCH_OUT", "bench_ab.json")
+    with open(os.path.join(REPO, out_name), "w") as fh:
         json.dump(result, fh)
     print(json.dumps(result))
     compact = {k: v for k, v in result.items() if k != "ratios"}
