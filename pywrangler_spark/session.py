@@ -47,6 +47,19 @@ def get_spark(
             "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
             str(8 * int(shuffle_partitions or cpus)),
         )
+        # let AQE re-optimize (coalesce) the plans of persisted frames:
+        # off, every .persist() freezes the exchange at
+        # initialPartitionNum tasks, and each downstream stage over the
+        # cache — mapInPandas GEMMs, broadcast builds, joins — pays that
+        # task count forever (measured: the sf0.1 docvec cache froze at
+        # 256 partitions of ~20 rows; the exact ANN tier spent 74 s of
+        # executor time on task+Python-worker startup, 3.4 -> 0.75 s
+        # with the flag). Partitioning is decided by BYTES, so cached
+        # frames stay scale-adaptive instead of constant-partitioned.
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
