@@ -462,86 +462,95 @@ FROM c
 """
 
 
+def _repetition_count_batches(batches):
+    """mapInPandas kernel for :func:`repetition_quality_docs`: per-doc
+    INTEGER repetition counts (token count, distinct tokens, top token
+    count, bigram count, top bigram count). Integers only — the ratio
+    arithmetic (f64 division + round) stays in JVM expressions so the
+    output is bit-identical to the exploded-aggregation form regardless
+    of Python/JVM rounding conventions. Empty/NULL docs emit zeros; the
+    consumer's nullif(...) guards turn those into the NULL ratios the
+    oracle expects."""
+    from collections import Counter
+
+    import pandas as pd
+
+    for pdf in batches:
+        n, nd, tc, bn, btc = [], [], [], [], []
+        for ws in pdf["ws"]:
+            if ws is None or len(ws) == 0:
+                n.append(0); nd.append(0); tc.append(0)
+                bn.append(0); btc.append(0)
+                continue
+            c = Counter(ws)
+            n.append(len(ws))
+            nd.append(len(c))
+            tc.append(max(c.values()))
+            if len(ws) >= 2:
+                # tuple bigrams: tokens never contain whitespace (words()
+                # splits on \s+), so pair counts equal joined-string counts
+                b = Counter(zip(ws, ws[1:]))
+                bn.append(len(ws) - 1)
+                btc.append(max(b.values()))
+            else:
+                bn.append(0); btc.append(0)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n": n, "n_distinct": nd, "top_c": tc,
+                "bn": bn, "btop_c": btc,
+            }
+        )
+
+
 @register("repetition_quality_docs", oracle=_REPETITION_ORACLE)
 def repetition_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document repetition ratios (dup-word, top-word share,
-    top-bigram share) via explode + hash aggregation.
+    top-bigram share) — zero-exchange mapInPandas form.
 
-    Two formulations exist; this query uses the aggregate one because
-    it stays in whole-stage codegen: higher-order array lambdas are
-    CodegenFallback (interpreted) in Spark, and the pure-lambda twin
-    (``functions.text.repetition_struct``, kept for scan-side
-    composition) measured 9 s vs <1 s here at sf0.1. The shuffles are
-    keyed by doc_id and partial aggregation collapses tokens to one row
-    per (doc, distinct word) map-side — the exchange carries roughly
-    the corpus's distinct-token surface, which scales.
+    Three formulations were measured:
+
+    - higher-order array lambdas (``functions.text.repetition_struct``,
+      kept for scan-side composition): CodegenFallback (interpreted),
+      9 s at sf0.1;
+    - explode + two-level hash aggregation (r9-r11's form): stays in
+      codegen, but its exchanges carry the corpus's per-doc
+      distinct-token AND distinct-bigram surfaces (~corpus-linear — the
+      bigram stream is nearly one row per corpus token) through 7
+      exchanges plus a doc-keyed double join;
+    - this form (guide §4.2): tokenization stays a JVM projection
+      (identical ``words()`` semantics), token arrays cross the Arrow
+      boundary once, and per-doc INTEGER counts come back from a
+      ``Counter`` pass — counts are engine-exact, and the ratio
+      division + round-6 stay JVM-side, so values are bit-identical to
+      the aggregation form (equivalence test in
+      ``tests/test_resample_cap.py``). The plan has ZERO exchanges:
+      per-doc stats are data-parallel, nothing ever shuffles at any
+      corpus size (the aggregation form's exchange grew linearly).
     """
     from pywrangler_spark.operators.dedup import _scale_out
 
     base = _scale_out(_docs(spark, sf_dir)).select(
         "doc_id", words(F.col("text")).alias("ws")
     )
-    # bigram construction binds ws as a lambda variable: element lookups
-    # only; the tokenization itself is NOT re-evaluated per element
-    bigrams = F.get(
-        F.transform(
-            F.array(F.col("ws")),
-            lambda a: F.when(
-                F.size(a) >= 2,
-                F.transform(
-                    F.sequence(F.lit(0), F.size(a) - 2),
-                    lambda i: F.concat_ws(
-                        " ",
-                        F.element_at(a, (i + 1).cast("int")),
-                        F.element_at(a, (i + 2).cast("int")),
-                    ),
-                ),
-            ).otherwise(F.array().cast("array<string>")),
-        ),
-        0,
+    stats = base.mapInPandas(
+        _repetition_count_batches,
+        "doc_id long, n long, n_distinct long, top_c long, "
+        "bn long, btop_c long",
     )
-
-    tok = base.select("doc_id", F.explode("ws").alias("w"))
-    wstats = (
-        tok.groupBy("doc_id", "w")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum("c").cast("double").alias("n"),
-            F.count(F.lit(1)).cast("double").alias("n_distinct"),
-            F.max("c").cast("double").alias("top_c"),
-        )
-    )
-    btok = base.select("doc_id", F.explode(bigrams).alias("b"))
-    bstats = (
-        btok.groupBy("doc_id", "b")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum("c").cast("double").alias("bn"),
-            F.max("c").cast("double").alias("btop_c"),
-        )
-    )
-    # left-join the stats onto the full doc_id spine: a NULL/empty text
-    # yields no exploded rows, but the document must still appear (with
-    # NULL ratios) exactly as the oracle keeps one row per document
-    joined = (
-        base.select("doc_id")
-        .join(wstats, "doc_id", "left")
-        .join(bstats, "doc_id", "left")
-    )
-    return joined.select(
+    nn = F.nullif(F.col("n").cast("double"), F.lit(0.0))
+    bnn = F.nullif(F.col("bn").cast("double"), F.lit(0.0))
+    return stats.select(
         "doc_id",
         F.round(
-            F.lit(1.0) - F.col("n_distinct") / F.nullif(F.col("n"), F.lit(0.0)),
-            6,
+            F.lit(1.0) - F.col("n_distinct").cast("double") / nn, 6
         ).alias("dup_word_ratio"),
-        F.round(
-            F.col("top_c") / F.nullif(F.col("n"), F.lit(0.0)), 6
-        ).alias("top_word_ratio"),
-        F.round(
-            F.col("btop_c") / F.nullif(F.col("bn"), F.lit(0.0)), 6
-        ).alias("top_bigram_ratio"),
+        F.round(F.col("top_c").cast("double") / nn, 6).alias(
+            "top_word_ratio"
+        ),
+        F.round(F.col("btop_c").cast("double") / bnn, 6).alias(
+            "top_bigram_ratio"
+        ),
     )
 
 

@@ -288,3 +288,65 @@ class TestCapProperty:
         assert set(map(tuple, out.to_numpy())) <= set(
             map(tuple, pdf.to_numpy())
         )
+
+
+class TestRepetitionCountKernel:
+    """The mapInPandas integer-count kernel behind the
+    repetition_quality_docs query must agree with the exploded
+    aggregation form it replaced — including the NULL/empty/one-token
+    edge docs whose stats the old form produced via left-join misses."""
+
+    def test_matches_exploded_aggregation(self, spark):
+        from pywrangler_spark.functions.text import words
+        from pywrangler_spark.queries.text import (
+            _repetition_count_batches,
+        )
+
+        df = spark.createDataFrame(
+            [
+                Row(doc_id=1, text="a a a a"),
+                Row(doc_id=2, text="a b c d"),
+                Row(doc_id=3, text="x y x y x y"),
+                Row(doc_id=4, text=None),          # NULL text
+                Row(doc_id=5, text="   "),         # whitespace-only
+                Row(doc_id=6, text="solo"),        # one token, no bigram
+                Row(doc_id=7, text="A a  B b a"),  # case+space normalize
+            ]
+        )
+        base = df.select("doc_id", words(F.col("text")).alias("ws"))
+        got = {
+            r.doc_id: r
+            for r in base.mapInPandas(
+                _repetition_count_batches,
+                "doc_id long, n long, n_distinct long, top_c long, "
+                "bn long, btop_c long",
+            ).collect()
+        }
+        # reference: the explode + two-level hash aggregation form
+        tok = base.select("doc_id", F.explode("ws").alias("w"))
+        ref_w = (
+            tok.groupBy("doc_id", "w")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("doc_id")
+            .agg(
+                F.sum("c").alias("n"),
+                F.count(F.lit(1)).alias("n_distinct"),
+                F.max("c").alias("top_c"),
+            )
+        )
+        ref = {r.doc_id: r for r in ref_w.collect()}
+        for doc_id, r in got.items():
+            if doc_id in ref:
+                assert (r.n, r.n_distinct, r.top_c) == (
+                    ref[doc_id].n,
+                    ref[doc_id].n_distinct,
+                    ref[doc_id].top_c,
+                ), doc_id
+            else:  # NULL text: no exploded rows — kernel emits zeros
+                assert (r.n, r.n_distinct, r.top_c) == (0, 0, 0), doc_id
+        # bigram spot checks (old form: explode of the constructed
+        # bigram array)
+        assert (got[3].bn, got[3].btop_c) == (5, 3)   # x-y 3, y-x 2
+        assert (got[6].bn, got[6].btop_c) == (0, 0)   # no bigrams
+        assert (got[1].bn, got[1].btop_c) == (3, 3)   # a-a 3x
+        assert got[7].n == 5 and got[7].n_distinct == 2  # lowercased
