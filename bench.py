@@ -47,9 +47,14 @@ from pywrangler_spark.session import get_spark
 from pywrangler_spark.sources import read_parquet
 
 sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-from pywrangler_spark.sources.parquet import validate_sf_dir
-validate_sf_dir(sf_dir,
-                allow_partial=os.environ.get("SPARK_GRAFT_ALLOW_PARTIAL") == "1")
+try:  # refs older than the partial-dir guard don't ship validate_sf_dir
+    from pywrangler_spark.sources.parquet import validate_sf_dir
+except ImportError:
+    pass
+else:
+    validate_sf_dir(
+        sf_dir,
+        allow_partial=os.environ.get("SPARK_GRAFT_ALLOW_PARTIAL") == "1")
 cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 spark = get_spark("bench-ab", master=f"local[{cpus}]",
                   shuffle_partitions=int(cpus),
