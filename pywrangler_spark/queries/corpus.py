@@ -11,6 +11,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pywrangler_spark.queries import register
+from pywrangler_spark.util import BoundedFitCache
 from pywrangler_spark.sources import read_parquet
 
 _NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
@@ -397,7 +398,7 @@ FROM documents WHERE doc_id % 2 = 1
 
 # fit capacity per (process, corpus) — one count() per corpus, cached
 # like the ANN gates' _ANN_PARAMS (queries/similarity.py)
-_FIT_PARAMS: dict = {}
+_FIT_PARAMS: dict = BoundedFitCache()
 
 # fit-once serve-many, the _IVF_CENTROIDS/_PQ_CODEBOOKS convention
 # (queries/similarity.py): the fitted LogisticRegressionModel is a model
@@ -405,7 +406,7 @@ _FIT_PARAMS: dict = {}
 # seed) is a per-(process, corpus) fit phase, not per-call serve work.
 # The teacher labels, holdout scoring, and the accuracy aggregate still
 # compute from the parquet inputs on every call.
-_CLF_MODELS: dict = {}
+_CLF_MODELS: dict = BoundedFitCache()
 
 
 @register("classifier_quality_gate", oracle=_CLASSIFIER_ORACLE)

@@ -18,6 +18,7 @@ from pywrangler_spark.operators.similarity import (
     topk_cosine,
     topk_cosine_lsh,
 )
+from pywrangler_spark.util import BoundedFitCache
 from pywrangler_spark.queries import register
 from pywrangler_spark.sources import read_parquet
 
@@ -43,7 +44,7 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sf10 rows exercise the same schedule a 100 TB deployment relies on
 # (recall_scale.json is the measured basis). The one count() per corpus
 # is a fit-phase action, cached like the centroid/codebook artifacts.
-_ANN_PARAMS: dict = {}
+_ANN_PARAMS: dict = BoundedFitCache()
 
 
 def _ann_params(emb: DataFrame, sf_dir: str) -> dict:
@@ -169,7 +170,7 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # fit-once serve-many: the coarse quantizer is a model artifact; fitting
 # it inside every query call was round 1's scale-killer (judge: fit
 # dominated the 4.6 s wall). One fit per (sf_dir, layout) per process.
-_IVF_CENTROIDS: dict = {}
+_IVF_CENTROIDS: dict = BoundedFitCache()
 
 
 @register("ann_topk_ivf", oracle=_RECALL_ORACLE)
@@ -205,7 +206,7 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # fit-once serve-many, same rationale as the IVF centroids
-_PQ_CODEBOOKS: dict = {}
+_PQ_CODEBOOKS: dict = BoundedFitCache()
 
 
 @register("ann_topk_pq", oracle=_RECALL_ORACLE)

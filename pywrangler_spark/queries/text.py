@@ -494,9 +494,12 @@ def _repetition_count_batches(batches):
                 btc.append(max(b.values()))
             else:
                 bn.append(0); btc.append(0)
+        # doc_id as a plain array: mixing an indexed Series with
+        # positional lists only aligns while the batch carries a default
+        # RangeIndex — to_numpy() keeps the kernel safe on any frame.
         yield pd.DataFrame(
             {
-                "doc_id": pdf["doc_id"],
+                "doc_id": pdf["doc_id"].to_numpy(),
                 "n": n, "n_distinct": nd, "top_c": tc,
                 "bn": bn, "btop_c": btc,
             }
@@ -524,9 +527,12 @@ def repetition_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
       ``Counter`` pass — counts are engine-exact, and the ratio
       division + round-6 stay JVM-side, so values are bit-identical to
       the aggregation form (equivalence test in
-      ``tests/test_resample_cap.py``). The plan has ZERO exchanges:
-      per-doc stats are data-parallel, nothing ever shuffles at any
-      corpus size (the aggregation form's exchange grew linearly).
+      ``tests/test_resample_cap.py``). The plan has ZERO exchanges
+      apart from ``_scale_out``'s optional round-robin repartition on
+      under-split inputs (e.g. the single-file sf0.1 corpus; skipped
+      whenever the scan already has splits): per-doc stats are
+      data-parallel, no data-growing shuffle exists at any corpus size
+      (the aggregation form's exchange grew linearly).
     """
     from pywrangler_spark.operators.dedup import _scale_out
 

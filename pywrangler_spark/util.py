@@ -250,3 +250,26 @@ def keep_alive(derived, *sources):
     existing = getattr(derived, "_pw_keepalive", ())
     derived._pw_keepalive = tuple(existing) + sources
     return derived
+
+
+class BoundedFitCache(dict):
+    """Per-process fit-once cache with an entry bound (VERDICT r12 #8).
+
+    The fit-once-serve-many model caches (``_IVF_CENTROIDS``,
+    ``_PQ_CODEBOOKS``, ``_CLF_MODELS``, the param dicts) are keyed on
+    ``sf_dir``/layout and were unbounded — harmless in a bench process
+    that only ever sees a handful of corpora, a slow leak for a
+    long-lived library user iterating over many datasets. Oldest-insert
+    eviction is correctness-free: every cached fit is deterministic
+    (fixed seed, same corpus), so a re-fit after eviction reproduces
+    the identical artifact; the bound only caps resident model memory.
+    """
+
+    def __init__(self, maxsize: int = 8) -> None:
+        super().__init__()
+        self.maxsize = maxsize
+
+    def __setitem__(self, key, value) -> None:
+        if key not in self and len(self) >= self.maxsize:
+            del self[next(iter(self))]
+        super().__setitem__(key, value)

@@ -269,3 +269,40 @@ class TestWideExchangeWidth:
 
         # base -> 200 shipped default; initial -> base; cap -> initial
         assert wide_exchange_width(_Spark()) == 200
+
+
+class TestBoundedFitCache:
+    """Fit-once model caches are bounded (r12 verdict hygiene item):
+    oldest-insert eviction, refreshed values don't evict, and the
+    registry's model caches actually use the bounded type."""
+
+    def test_evicts_oldest_insert(self):
+        from pywrangler_spark.util import BoundedFitCache
+
+        c = BoundedFitCache(maxsize=2)
+        c["a"] = 1
+        c["b"] = 2
+        c["c"] = 3
+        assert list(c) == ["b", "c"]
+
+    def test_update_existing_key_does_not_evict(self):
+        from pywrangler_spark.util import BoundedFitCache
+
+        c = BoundedFitCache(maxsize=2)
+        c["a"] = 1
+        c["b"] = 2
+        c["a"] = 9
+        assert list(c) == ["a", "b"] and c["a"] == 9
+
+    def test_registry_model_caches_are_bounded(self):
+        from pywrangler_spark.util import BoundedFitCache
+        from pywrangler_spark.queries import corpus, similarity
+
+        for cache in (
+            similarity._ANN_PARAMS,
+            similarity._IVF_CENTROIDS,
+            similarity._PQ_CODEBOOKS,
+            corpus._FIT_PARAMS,
+            corpus._CLF_MODELS,
+        ):
+            assert isinstance(cache, BoundedFitCache)
