@@ -215,22 +215,76 @@ class PackedCdcChunkNeardupPairs(cdc_chunk_neardup_pairs):
         )
 
 
-def _ops(kind: str):
-    if kind == "minhash":
-        return (
-            MinHashLSHPairs("doc_id", "text"),
-            PackedMinHashLSHPairs("doc_id", "text"),
+class HybridCdcChunkNeardupPairs(cdc_chunk_neardup_pairs):
+    """Count prefilter kept (boilerplate fingerprints never enter a
+    collect buffer), but the self-join is replaced by collect_list on
+    the live set — the post-semi-join groupBy inherits the join's _fp
+    hash partitioning, so candidate generation adds NO exchange."""
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        from pyspark import StorageLevel
+
+        from pywrangler_spark.operators.chunk import chunk_content_defined
+
+        chunks = df.transform(
+            chunk_content_defined(
+                self.id_column, self.text_column, avg_tokens=self.avg_tokens
+            )
         )
-    return (
-        cdc_chunk_neardup_pairs(
-            "doc_id", "text", avg_tokens=16, min_shared=2,
-            min_chunk_tokens=5, max_chunk_docs=100,
-        ),
-        PackedCdcChunkNeardupPairs(
-            "doc_id", "text", avg_tokens=16, min_shared=2,
-            min_chunk_tokens=5, max_chunk_docs=100,
-        ),
-    )
+        postings = (
+            chunks.filter(F.col("n_tokens") >= self.min_chunk_tokens)
+            .select(
+                F.xxhash64(F.col("chunk")).alias("_fp"),
+                F.col(self.id_column).alias("_doc"),
+            )
+            .distinct()
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        self._persisted.append(postings)
+        counts = postings.groupBy("_fp").agg(
+            F.count(F.lit(1)).alias("_n")
+        )
+        live = postings.join(
+            counts.filter(
+                (F.col("_n") >= 2) & (F.col("_n") <= self.max_chunk_docs)
+            ),
+            "_fp",
+            "left_semi",
+        )
+        grp = live.groupBy("_fp").agg(F.collect_list("_doc").alias("docs"))
+        pairs = grp.select(
+            F.explode(_sorted_pairs(F.col("docs"), "id_a", "id_b"))
+            .alias("p")
+        ).select("p.id_a", "p.id_b")
+        out = (
+            pairs.groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .filter(F.col("n_shared") >= self.min_shared)
+        )
+        tie_caches_to_result(out, self._persisted)
+        return out
+
+
+_CDC_KW = dict(avg_tokens=16, min_shared=2, min_chunk_tokens=5,
+               max_chunk_docs=100)
+
+
+def _arms(kind: str) -> dict:
+    """Arm name -> fresh-operator factory. 'selfjoin' is the shipped
+    form and the ratio denominator."""
+    if kind == "minhash":
+        return {
+            "selfjoin": lambda: MinHashLSHPairs("doc_id", "text"),
+            "packed": lambda: PackedMinHashLSHPairs("doc_id", "text"),
+        }
+    return {
+        "selfjoin": lambda: cdc_chunk_neardup_pairs(
+            "doc_id", "text", **_CDC_KW),
+        "packed": lambda: PackedCdcChunkNeardupPairs(
+            "doc_id", "text", **_CDC_KW),
+        "hybrid": lambda: HybridCdcChunkNeardupPairs(
+            "doc_id", "text", **_CDC_KW),
+    }
 
 
 def main() -> None:
@@ -248,6 +302,9 @@ def main() -> None:
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     check_sf = opt("--check-sf", "/root/testdata/sf0.01")
     out_path = opt("--out", "/tmp/bucket_pack_probe.json")
+    kinds = opt("--kinds", "minhash,cdc").split(",")
+    arm_filter = opt("--arms", "")
+    arm_filter = set(arm_filter.split(",")) if arm_filter else None
     reps = int(argv[0]) if argv else 3
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -262,23 +319,35 @@ def main() -> None:
     result = {"metric": "bucket_pack_ab", "sf_dir": sf_dir,
               "check_sf": check_sf, "ops": {}}
 
-    for kind in ("minhash", "cdc"):
-        cur, packed = _ops(kind)
-        a = sorted(map(tuple, docs.transform(cur).collect()))
-        b = sorted(map(tuple, docs.transform(packed).collect()))
-        cur.release()
-        packed.release()
-        assert a == b, f"{kind}: packed output differs ({len(a)} vs {len(b)})"
-        result["ops"][kind] = {"values_identical": True, "n_pairs": len(a)}
-        print(f"{kind}: equivalence OK ({len(a)} pairs)", flush=True)
+    for kind in kinds:
+        arms = _arms(kind)
+        if arm_filter:
+            arms = {n: f for n, f in arms.items()
+                    if n == "selfjoin" or n in arm_filter}
+        outs = {}
+        for name, mk in arms.items():
+            op = mk()
+            outs[name] = sorted(map(tuple, docs.transform(op).collect()))
+            op.release()
+        base = outs["selfjoin"]
+        for name, got in outs.items():
+            assert got == base, (
+                f"{kind}/{name}: output differs ({len(got)} vs {len(base)})")
+        result["ops"][kind] = {"values_identical": True,
+                               "n_pairs": len(base)}
+        print(f"{kind}: equivalence OK ({len(base)} pairs, "
+              f"{len(outs)} arms)", flush=True)
 
     big = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    for kind in ("minhash", "cdc"):
-        times = {"selfjoin": [], "packed": []}
+    for kind in kinds:
+        arms = _arms(kind)
+        if arm_filter:
+            arms = {n: f for n, f in arms.items()
+                    if n == "selfjoin" or n in arm_filter}
+        times = {name: [] for name in arms}
         for r in range(reps):
-            for name in ("selfjoin", "packed"):
-                cur, packed = _ops(kind)
-                op = cur if name == "selfjoin" else packed
+            for name, mk in arms.items():
+                op = mk()
                 spark.sparkContext.setJobDescription(
                     f"pack-ab {kind} {name} r{r}")
                 df = big.transform(op)
@@ -287,18 +356,20 @@ def main() -> None:
                 times[name].append(round(time.monotonic() - t0, 3))
                 op.release()
         spark.sparkContext.setJobDescription(None)
+        mins = {name: min(ts) for name, ts in times.items()}
         result["ops"][kind].update(
             reps=times,
-            min_selfjoin=min(times["selfjoin"]),
-            min_packed=min(times["packed"]),
-            ratio_packed_over_selfjoin=round(
-                min(times["packed"]) / min(times["selfjoin"]), 3),
+            mins=mins,
+            ratios_over_selfjoin={
+                name: round(mins[name] / mins["selfjoin"], 3)
+                for name in arms if name != "selfjoin"
+            },
         )
         print(f"{kind}: {json.dumps(result['ops'][kind])}", flush=True)
 
     with open(out_path, "w") as fh:
         json.dump(result, fh, indent=1)
-    print(json.dumps({k: v.get("ratio_packed_over_selfjoin")
+    print(json.dumps({k: v.get("ratios_over_selfjoin")
                       for k, v in result["ops"].items()}))
 
 
